@@ -1,0 +1,161 @@
+"""End-to-end job: read tokens table → detokenize → detect → parse →
+enrich → route (fan-out sinks) → aggregate → audit, with manifest commits
+and resume.
+
+Plan shape (everything except the parse UDF is JVM-side):
+
+    Scan parquet (pruned: doc_id, tokens, source)
+      → project detokenize (codegen: transform+char)      [no shuffle]
+      → project detect_rfc (codegen)                      [no shuffle]
+      → ArrowEvalPython parse_syslog                      [no shuffle]
+      → 3× BroadcastHashJoin (dims)                       [no shuffle]
+      → salted repartition on sink key                    [the ONE shuffle]
+      → dynamic-partition parquet write per sink
+    aggregates/metrics reuse the persisted parse output (partial+final agg).
+
+Usage:  python -m sparklog.pipeline --gen-rows 100000 --out /tmp/slout
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .aggregate import hourly_counts, parse_metrics
+from .encoding import detokenize_col
+from .enrich import enrich
+from .grammar import ParseConfig
+from .lineage import Manifest, partition_lineage
+from .route import audit_token_equality, with_route_columns, write_sinks
+from .udfs import detect_rfc_col, make_parse_udf
+
+PARSED_COLS = [
+    "priority", "facility", "severity", "version", "ts",
+    "tz_offset_minutes", "ts_is_nil", "hostname", "tag", "content",
+    "app_name", "proc_id", "msg_id", "structured_data", "message",
+    "parse_error",
+]
+
+
+def parse_stage(src: DataFrame, cfg: ParseConfig | None = None) -> DataFrame:
+    """tokens table -> flat parsed DataFrame (keeps doc_id/source/tokens for
+    routing + the token-equality audit)."""
+    parse_udf = make_parse_udf(cfg)
+    return (
+        src
+        .withColumn("raw", detokenize_col("tokens"))
+        .withColumn("rfc", detect_rfc_col("raw"))
+        .withColumn("parsed", parse_udf(F.col("raw"), F.col("rfc")))
+        .select("doc_id", "source", "tokens", "rfc",
+                *[F.col(f"parsed.{c}").alias(c) for c in PARSED_COLS])
+    )
+
+
+def run_pipeline(spark: SparkSession, src_path: str, out_dir: str,
+                 cfg: ParseConfig | None = None, num_partitions: int = 32,
+                 salt_buckets: int = 16, fail_after: str | None = None,
+                 do_audit: bool = True) -> dict:
+    """Run (or resume) the full job.  ``fail_after`` kills the run after the
+    named stage commits — used by the resume test."""
+    manifest = Manifest(out_dir)
+    stats: dict = {"resumed_stages": []}
+    t0 = time.time()
+
+    src = spark.read.parquet(src_path)
+    parsed = enrich(parse_stage(src, cfg), spark)
+    routed = with_route_columns(parsed)
+
+    def stage(name: str, fn):
+        if manifest.is_done(name):
+            stats["resumed_stages"].append(name)
+            return
+        info = fn() or {}
+        manifest.commit_stage(name, info)
+        if fail_after == name:
+            raise RuntimeError(f"injected failure after stage {name}")
+
+    def _sinks():
+        write_sinks(routed, os.path.join(out_dir, "sinks"),
+                    num_partitions, salt_buckets)
+        return {"lineage": partition_lineage(
+            spark.read.parquet(os.path.join(out_dir, "sinks")))}
+
+    def _aggregates():
+        routed_back = spark.read.parquet(os.path.join(out_dir, "sinks"))
+        (hourly_counts(routed_back)
+         .repartition(1)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "aggregates")))
+        return {}
+
+    def _metrics():
+        routed_back = spark.read.parquet(os.path.join(out_dir, "sinks"))
+        pm = parse_metrics(routed_back)
+        pm.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "metrics"))
+        rows = {f"{r['source']}/{r['rfc']}": (r["n_ok"], r["n_failed"])
+                for r in pm.collect()}
+        return {"per_source": {k: list(v) for k, v in rows.items()}}
+
+    def _audit():
+        routed_back = spark.read.parquet(os.path.join(out_dir, "sinks"))
+        violations = audit_token_equality(routed_back, src)
+        if violations:
+            raise AssertionError(
+                f"token-array equality audit failed: {violations} rows")
+        return {"violations": 0}
+
+    stage("sinks", _sinks)
+    stage("aggregates", _aggregates)
+    stage("metrics", _metrics)
+    if do_audit:
+        stage("audit", _audit)
+
+    routed_back = spark.read.parquet(os.path.join(out_dir, "sinks"))
+    stats["rows"] = routed_back.count()
+    stats["n_failed"] = routed_back.where(
+        F.col("parse_error").isNotNull()).count()
+    stats["wall_sec"] = time.time() - t0
+    stats["snapshot"] = manifest.load()["snapshot_id"]
+    return stats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=None, help="tokens parquet path")
+    ap.add_argument("--out", default="/tmp/sparklog_out")
+    ap.add_argument("--gen-rows", type=int, default=0,
+                    help="generate a synthetic tokens table of N rows")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore existing manifest (full rerun)")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+    spark = get_spark(args.master)
+    spark.sparkContext.setLogLevel("WARN")
+
+    src = args.src
+    if args.gen_rows:
+        from .fixtures import synth_lines, write_tokens_table
+        src = os.path.join(args.out, "src_tokens")
+        write_tokens_table(spark, synth_lines(args.gen_rows), src,
+                           n_partitions=max(args.partitions, 8))
+    if args.fresh:
+        import shutil
+        shutil.rmtree(os.path.join(args.out, "_manifests"),
+                      ignore_errors=True)
+
+    stats = run_pipeline(spark, src, args.out,
+                         num_partitions=args.partitions)
+    print(json.dumps(stats, default=str))
+
+
+if __name__ == "__main__":
+    main()

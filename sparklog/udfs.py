@@ -1,0 +1,113 @@
+"""Arrow-batched pandas UDF wrappers around the vectorized grammar.
+
+One Series→DataFrame pandas UDF per parse call: the JVM ships Arrow batches
+of raw strings + the detected rfc tag, Python runs the masked-column grammar
+once per batch (no per-row loops), and a single struct column comes back.
+This is the only JVM↔Python boundary in the pipeline; everything before
+(detokenize, detect) and after (enrich, route, aggregate) stays JVM-side
+under whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .grammar import (
+    RFC_3164,
+    RFC_5424,
+    ParseConfig,
+    parse_rfc3164,
+    parse_rfc5424,
+)
+
+PARSED_SCHEMA = T.StructType([
+    T.StructField("priority", T.IntegerType()),
+    T.StructField("facility", T.IntegerType()),
+    T.StructField("severity", T.IntegerType()),
+    T.StructField("version", T.IntegerType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("tz_offset_minutes", T.IntegerType()),
+    T.StructField("ts_is_nil", T.BooleanType()),
+    T.StructField("hostname", T.StringType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("content", T.StringType()),
+    T.StructField("app_name", T.StringType()),
+    T.StructField("proc_id", T.StringType()),
+    T.StructField("msg_id", T.StringType()),
+    T.StructField("structured_data", T.StringType()),
+    T.StructField("message", T.StringType()),
+    T.StructField("parse_error", T.StringType()),
+])
+
+_INT_COLS = ["priority", "facility", "severity", "version",
+             "tz_offset_minutes"]
+
+
+def _to_arrow_frame(out: pd.DataFrame) -> pd.DataFrame:
+    """Normalize grammar output dtypes for the Arrow return path."""
+    for c in _INT_COLS:
+        out[c] = out[c].astype("Int64")
+    out["ts_is_nil"] = out["ts_is_nil"].astype("boolean")
+    return out
+
+
+def parse_syslog_frame(raw: pd.Series, rfc: pd.Series,
+                       cfg: ParseConfig) -> pd.DataFrame:
+    """Dispatch one batch to both grammars by detected dialect.
+
+    Rows with rfc==UNKNOWN get a 'DetectFailed' parse_error (the reference
+    caller would have no parser to construct; we make it routable data).
+    """
+    rfc = pd.Series(rfc, index=raw.index).fillna(0).astype(int)
+    out = pd.DataFrame(index=raw.index)
+    m3 = (rfc == RFC_3164).to_numpy()
+    m5 = (rfc == RFC_5424).to_numpy()
+    parts = []
+    if m3.any():
+        parts.append(parse_rfc3164(raw[m3], cfg))
+    if m5.any():
+        parts.append(parse_rfc5424(raw[m5], cfg))
+    if parts:
+        out = pd.concat(parts).reindex(raw.index)
+    else:
+        out = parse_rfc3164(raw.iloc[:0], cfg).reindex(raw.index)
+    unknown = ~(m3 | m5)
+    if unknown.any():
+        out.loc[unknown, "parse_error"] = "DetectFailed"
+    return _to_arrow_frame(out)
+
+
+def make_parse_udf(cfg: ParseConfig | None = None):
+    """pandas UDF (raw string, rfc int) -> parsed struct."""
+    cfg = cfg or ParseConfig()
+
+    @F.pandas_udf(PARSED_SCHEMA)
+    def parse_syslog(raw: pd.Series, rfc: pd.Series) -> pd.DataFrame:
+        return parse_syslog_frame(raw, rfc, cfg)
+
+    return parse_syslog
+
+
+def detect_rfc_col(raw_col: str = "raw"):
+    """JVM-side (codegen) dialect detection, quirk-exact vs
+    syslogparser.go:30-56 — see grammar.detect_rfc for the taxonomy.
+
+    instr() is 1-based: p = position of '>' within the first 10 chars.
+    """
+    head = F.substring(F.col(raw_col), 1, 10)
+    p = F.instr(head, ">")  # 0 when absent
+    after = F.substring(F.col(raw_col), p + 1, 1)
+    return (
+        F.when(F.length(raw_col) == 0, F.lit(0))
+        # no '>' in the scan window: v=0 quirk -> 5424 for full windows,
+        # UNKNOWN (reference panic) for short buffers
+        .when((p == 0) & (F.length(raw_col) >= 10), F.lit(RFC_5424))
+        .when(p == 0, F.lit(0))
+        .when(p == 10, F.lit(0))         # '>' at index 9: version outside
+        .when(after == "", F.lit(0))     # '>' is the last byte (ref panics)
+        .when(after.rlike("^[0-9]$"), F.lit(RFC_5424))
+        .otherwise(F.lit(RFC_3164))
+    ).cast("int")

@@ -1,0 +1,138 @@
+"""End-to-end Spark tests: tokenized goldens through the full pipeline,
+aggregate goldens vs an independent pandas computation, token-equality
+audit, and kill-and-rerun resume idempotency."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparklog import fixtures
+from sparklog.aggregate import hourly_counts
+from sparklog.encoding import detokenize_col, tokenize_col
+from sparklog.grammar import ParseConfig, detect_rfc, parse_rfc3164, parse_rfc5424
+from sparklog.pipeline import parse_stage, run_pipeline
+from sparklog.route import audit_token_equality
+
+
+@pytest.fixture(scope="module")
+def golden_src(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("golden") / "tokens")
+    fixtures.write_tokens_table(spark, fixtures.golden_frame(), path,
+                                n_partitions=2)
+    return path
+
+
+def test_tokenize_roundtrip_jvm(spark):
+    """JVM tokenize → detokenize must be the identity on golden lines."""
+    pdf = fixtures.golden_frame()
+    df = spark.createDataFrame(pdf)
+    back = (df.withColumn("tokens", tokenize_col("raw"))
+              .withColumn("raw2", detokenize_col("tokens"))
+              .where(F.col("raw2") != F.col("raw")))
+    assert back.count() == 0
+
+
+def test_goldens_through_pipeline(spark, golden_src):
+    """Full Spark path (detokenize → detect → parse UDF) reproduces every
+    no-config golden exactly."""
+    src = spark.read.parquet(golden_src)
+    out = parse_stage(src, ParseConfig(default_year=fixtures.DEFAULT_YEAR))
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    for case in fixtures.GOLDEN_VALID:
+        if case["cfg"]:
+            continue
+        row = got[case["id"]]
+        assert row["parse_error"] is None, (case["id"], row["parse_error"])
+        assert row["rfc"] == case["rfc"], case["id"]
+        for field, want in case["exp"].items():
+            gotv = row[field]
+            if field == "ts":
+                if want is None:
+                    assert gotv is None
+                else:
+                    assert gotv == pd.Timestamp(want).to_pydatetime(), (
+                        case["id"], field, gotv, want)
+            else:
+                assert gotv == want, (case["id"], field, gotv, want)
+
+
+def test_aggregates_match_pandas_golden(spark, tmp_path):
+    """Hour-bucket counts from the Spark pipeline equal an independently
+    computed pandas aggregation over the same synthetic corpus."""
+    pdf = fixtures.synth_lines(3000, seed=7)
+    src_path = str(tmp_path / "tokens")
+    fixtures.write_tokens_table(spark, pdf, src_path, n_partitions=4)
+
+    src = spark.read.parquet(src_path)
+    parsed = parse_stage(src)
+    got = (hourly_counts(parsed.withColumn("sink_class", F.lit("x")))
+           .groupBy("facility", "severity", "hour")
+           .agg(F.sum("n_events").alias("n"))
+           .toPandas()
+           .sort_values(["facility", "severity", "hour"])
+           .reset_index(drop=True))
+
+    # independent oracle: pure-pandas detect + parse + groupby
+    rfc = detect_rfc(pdf["raw"])
+    p3 = parse_rfc3164(pdf.loc[rfc == 1, "raw"])
+    p5 = parse_rfc5424(pdf.loc[rfc == 2, "raw"])
+    allp = pd.concat([p3, p5])
+    okp = allp[allp["parse_error"].isna()]
+    exp = (okp.assign(hour=okp["ts"].dt.floor("h"))
+              .groupby(["facility", "severity", "hour"], dropna=False)
+              .size().rename("n").reset_index()
+              .sort_values(["facility", "severity", "hour"])
+              .reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert (got["facility"].astype(int).to_numpy()
+            == exp["facility"].astype(int).to_numpy()).all()
+
+
+def test_full_pipeline_and_audit(spark, tmp_path):
+    src_path = str(tmp_path / "tokens")
+    out_dir = str(tmp_path / "out")
+    fixtures.write_tokens_table(spark, fixtures.synth_lines(2000, seed=3),
+                                src_path, n_partitions=4)
+    stats = run_pipeline(spark, src_path, out_dir, num_partitions=4)
+    assert stats["rows"] == 2000
+    assert stats["n_failed"] > 0          # dead-letter path exercised
+    # audit stage committed with zero violations
+    import json
+    with open(os.path.join(out_dir, "_manifests", "CURRENT")) as f:
+        name = f.read().strip()
+    with open(os.path.join(out_dir, "_manifests", name)) as f:
+        snap = json.load(f)
+    assert snap["stages"]["audit"]["violations"] == 0
+    # dead-letter rows landed in their own sink partition
+    dead = glob.glob(os.path.join(out_dir, "sinks", "*", "sink_class=dead"))
+    assert dead
+
+
+def test_resume_after_kill_is_idempotent(spark, tmp_path):
+    """Kill after the sinks stage commits; rerun; outputs byte-identical."""
+    src_path = str(tmp_path / "tokens")
+    fixtures.write_tokens_table(spark, fixtures.synth_lines(1000, seed=5),
+                                src_path, n_partitions=2)
+
+    def sink_digest(d):
+        rows = (spark.read.parquet(os.path.join(d, "sinks"))
+                .select("doc_id", "priority", "severity", "sink_class",
+                        F.hash("tokens").alias("th"))
+                .orderBy("doc_id").collect())
+        return [tuple(r) for r in rows]
+
+    out_a = str(tmp_path / "out_a")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(spark, src_path, out_a, num_partitions=2,
+                     fail_after="sinks")
+    stats = run_pipeline(spark, src_path, out_a, num_partitions=2)
+    assert stats["resumed_stages"] == ["sinks"]
+
+    out_b = str(tmp_path / "out_b")
+    run_pipeline(spark, src_path, out_b, num_partitions=2)
+    assert sink_digest(out_a) == sink_digest(out_b)
