@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship syslog pipeline query; ``queries``/``oracle_sql``
+expose every implemented operator (SURVEY.md §2 + training-data ops) with
+DuckDB-checkable ANSI-SQL oracles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the sparklog package to Python workers (the parse UDF unpickles
+    by module reference).  Equivalent of spark-submit --py-files for a
+    driver-created session."""
+    if getattr(spark, "_sparklog_shipped", False):
+        return
+    zpath = os.path.join("/tmp", "sparklog_pyfiles.zip")
+    pkg = os.path.join(_REPO, "sparklog")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for fn in sorted(os.listdir(pkg)):
+            if fn.endswith(".py"):
+                z.write(os.path.join(pkg, fn), f"sparklog/{fn}")
+    spark.sparkContext.addPyFile(zpath)
+    spark._sparklog_shipped = True
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full syslog path (tokenize → detokenize → detect → Arrow
+    parse UDF → hourly facility×severity aggregate) over sf0.001."""
+    _ensure_pyfiles(spark)
+    from sparklog.queries import syslog_hourly_agg
+
+    return syslog_hourly_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sparklog.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_pyfiles(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sparklog.queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items()
+            if sql is not None}

@@ -64,6 +64,9 @@ def tokenize_col(col: str = "raw"):
     chars then ascii() per char."""
     from pyspark.sql import functions as F
 
+    # split('', '') yields [''] (ascii -> [0]), so empty strings need an
+    # explicit empty array to keep the round trip exact
     return F.expr(
-        f"transform(split({col}, ''), c -> cast(ascii(c) as int))"
-    )
+        f"case when length({col}) = 0 then array() "
+        f"else transform(split({col}, ''), c -> cast(ascii(c) as int)) end"
+    ).cast("array<int>")

@@ -27,12 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .aggregate import hourly_counts, parse_metrics
-from .encoding import detokenize_col
 from .enrich import enrich
 from .grammar import ParseConfig
 from .lineage import Manifest, partition_lineage
 from .route import audit_token_equality, with_route_columns, write_sinks
-from .udfs import detect_rfc_col, make_parse_udf
+from .udfs import make_parse_from_tokens_udf
 
 PARSED_COLS = [
     "priority", "facility", "severity", "version", "ts",
@@ -44,14 +43,17 @@ PARSED_COLS = [
 
 def parse_stage(src: DataFrame, cfg: ParseConfig | None = None) -> DataFrame:
     """tokens table -> flat parsed DataFrame (keeps doc_id/source/tokens for
-    routing + the token-equality audit)."""
-    parse_udf = make_parse_udf(cfg)
+    routing + the token-equality audit).
+
+    Decode + detect + parse happen inside ONE Arrow UDF pass: token arrays
+    ship to Python via Arrow untouched (JVM-side per-char array ops are a
+    GC hazard at scale — measured 4-8s/400k rows with 6x variance)."""
+    parse_udf = make_parse_from_tokens_udf(cfg)
     return (
         src
-        .withColumn("raw", detokenize_col("tokens"))
-        .withColumn("rfc", detect_rfc_col("raw"))
-        .withColumn("parsed", parse_udf(F.col("raw"), F.col("rfc")))
-        .select("doc_id", "source", "tokens", "rfc",
+        .withColumn("parsed", parse_udf(F.col("tokens")))
+        .select("doc_id", "source", "tokens",
+                F.col("parsed.rfc").alias("rfc"),
                 *[F.col(f"parsed.{c}").alias(c) for c in PARSED_COLS])
     )
 

@@ -1,0 +1,775 @@
+"""Driver-contract queries: each entry pairs a Spark DataFrame builder with
+an equivalent ANSI-SQL oracle that DuckDB runs over the same parquet tables.
+
+Two families:
+
+* ``syslog_*`` — construct deterministic syslog lines FROM the shared
+  ``events`` table, push them through the REAL pipeline path (tokenize →
+  detokenize → detect → Arrow parse UDF), and have the oracle recompute the
+  expected fields directly from the base columns.  A hash match proves the
+  whole parse path against an independent derivation.
+* analytics / training-data ops (dedup, similarity, text analysis, TPC-H
+  style relational ops) — Spark-first implementations with SQL oracles.
+
+Parity rules (so order-insensitive value hashes match):
+  - numerics cast to BIGINT; money via floor(x*100) (no cross-engine
+    rounding-mode or float-sum-order hazards)
+  - timestamps rendered as strings in both engines
+  - float similarities rounded, ranks computed ON the rounded value with an
+    id tiebreak
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .encoding import detokenize_col, tokenize_col
+from .enrich import FACILITY_NAMES, SEVERITY_CLASS, SEVERITY_NAMES
+from .udfs import detect_rfc_col, make_parse_udf
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- syslog ---
+
+# Deterministic 3164 line derived from events columns (both engines agree):
+#   <pri>MMM dd HH:mm:ss host<user%50> <event_type>[<id%1000>]: value=<floor(v*100)>
+def _line_3164_col():
+    return F.concat(
+        F.lit("<"), (F.col("event_id") % 192).cast("string"), F.lit(">"),
+        F.date_format("ts", "MMM dd HH:mm:ss"),
+        F.lit(" host"), (F.col("user_id") % 50).cast("string"),
+        F.lit(" "), F.col("event_type"),
+        F.lit("["), (F.col("event_id") % 1000).cast("string"),
+        F.lit("]: value="), F.floor(F.col("value") * 100).cast("string"))
+
+
+_LINE_3164_SQL = (
+    "'<' || (event_id % 192)::VARCHAR || '>' || "
+    "strftime(ts, '%b %d %H:%M:%S') || ' host' || "
+    "(user_id % 50)::VARCHAR || ' ' || event_type || '[' || "
+    "(event_id % 1000)::VARCHAR || ']: value=' || "
+    "floor(value * 100)::BIGINT::VARCHAR"
+)
+
+
+def _line_5424_col():
+    return F.concat(
+        F.lit("<"), (F.col("event_id") % 192).cast("string"), F.lit(">1 "),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("."), F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+        F.lit("Z host"), (F.col("user_id") % 50).cast("string"),
+        F.lit(" app_"), F.col("event_type"),
+        F.lit(" "), F.col("user_id").cast("string"),
+        F.lit(" ID"), (F.col("event_id") % 97).cast("string"),
+        F.lit(' [m@1 seq="'), F.col("event_id").cast("string"),
+        F.lit('"] event body '), F.col("event_id").cast("string"))
+
+
+_PFIELDS = ["priority", "facility", "severity", "version", "ts",
+            "tz_offset_minutes", "ts_is_nil", "hostname", "tag", "content",
+            "app_name", "proc_id", "msg_id", "structured_data", "message",
+            "parse_error"]
+
+
+def _parse_lines(spark: SparkSession, src: DataFrame) -> DataFrame:
+    """raw line -> detect -> Arrow parse UDF, flattened in ONE projection
+    right after the UDF (so downstream filters/aggregates never duplicate
+    the ArrowEvalPython node).  The token codec itself is exercised by
+    ``syslog_token_roundtrip`` and by the pipeline's parse_stage."""
+    parse_udf = make_parse_udf()
+    p = (src.withColumn("rfc", detect_rfc_col("raw"))
+            .withColumn("p", parse_udf(F.col("raw"), F.col("rfc"))))
+    return p.select(
+        *src.columns, "rfc",
+        *[F.col(f"p.{c}").alias(f"p_{c}") for c in _PFIELDS])
+
+
+def syslog_parse_rfc3164(spark, sf):
+    ev = _t(spark, sf, "events")
+    src = ev.select(F.col("event_id").alias("doc_id"),
+                    _line_3164_col().alias("raw"))
+    out = _parse_lines(spark, src)
+    return out.select(
+        "doc_id",
+        F.col("p_priority").cast("long").alias("priority"),
+        F.col("p_facility").cast("long").alias("facility"),
+        F.col("p_severity").cast("long").alias("severity"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("p_hostname").alias("hostname"),
+        F.col("p_tag").alias("tag"),
+        F.col("p_content").alias("content"))
+
+
+SQL_SYSLOG_PARSE_RFC3164 = """
+SELECT event_id AS doc_id,
+       (event_id % 192)::BIGINT AS priority,
+       ((event_id % 192) // 8)::BIGINT AS facility,
+       ((event_id % 192) % 8)::BIGINT AS severity,
+       '2025-' || strftime(ts, '%m-%d %H:%M:%S') AS ts_str,
+       'host' || (user_id % 50)::VARCHAR AS hostname,
+       event_type AS tag,
+       'value=' || floor(value * 100)::BIGINT::VARCHAR AS content
+FROM events
+"""
+
+
+def syslog_parse_rfc5424(spark, sf):
+    ev = _t(spark, sf, "events")
+    src = ev.select(F.col("event_id").alias("doc_id"),
+                    _line_5424_col().alias("raw"))
+    out = _parse_lines(spark, src)
+    return out.select(
+        "doc_id",
+        F.col("p_priority").cast("long").alias("priority"),
+        F.col("p_version").cast("long").alias("version"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_str"),
+        F.col("p_hostname").alias("hostname"),
+        F.col("p_app_name").alias("app_name"),
+        F.col("p_proc_id").alias("proc_id"),
+        F.col("p_msg_id").alias("msg_id"),
+        F.col("p_structured_data").alias("structured_data"),
+        F.col("p_message").alias("message"))
+
+
+SQL_SYSLOG_PARSE_RFC5424 = """
+SELECT event_id AS doc_id,
+       (event_id % 192)::BIGINT AS priority,
+       1::BIGINT AS version,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') || '.' ||
+           lpad((event_id % 1000)::VARCHAR, 3, '0') AS ts_str,
+       'host' || (user_id % 50)::VARCHAR AS hostname,
+       'app_' || event_type AS app_name,
+       user_id::VARCHAR AS proc_id,
+       'ID' || (event_id % 97)::VARCHAR AS msg_id,
+       '[m@1 seq="' || event_id::VARCHAR || '"]' AS structured_data,
+       'event body ' || event_id::VARCHAR AS message
+FROM events
+"""
+
+
+def syslog_detect_mix(spark, sf):
+    """Dialect detection incl. the v=0 quirk (no '>' in 10 bytes -> 5424)."""
+    ev = _t(spark, sf, "events")
+    line = (F.when(F.col("event_id") % 3 == 0, _line_3164_col())
+             .when(F.col("event_id") % 3 == 1, _line_5424_col())
+             .otherwise(F.concat(F.lit("garbage line "),
+                                 F.col("event_id").cast("string"))))
+    src = ev.select(F.col("event_id").alias("doc_id"), line.alias("raw"))
+    out = _parse_lines(spark, src)
+    return (out.groupBy(F.col("rfc").cast("long").alias("rfc"))
+               .agg(F.count("*").alias("n")))
+
+
+SQL_SYSLOG_DETECT_MIX = """
+SELECT CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END::BIGINT AS rfc,
+       count(*)::BIGINT AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def syslog_priority_split(spark, sf):
+    """NewPriority: facility=P/8, severity=P%8 over all distinct priorities,
+    via a real parse of minimal lines."""
+    ev = _t(spark, sf, "events")
+    src = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat(F.lit("<"), (F.col("event_id") % 192).cast("string"),
+                 F.lit(">Oct 11 22:14:15 h t: x")).alias("raw"))
+    out = _parse_lines(spark, src)
+    return (out.select(F.col("p_priority").cast("long").alias("priority"),
+                       F.col("p_facility").cast("long").alias("facility"),
+                       F.col("p_severity").cast("long").alias("severity"))
+               .distinct())
+
+
+SQL_SYSLOG_PRIORITY_SPLIT = """
+SELECT DISTINCT (event_id % 192)::BIGINT AS priority,
+       ((event_id % 192) // 8)::BIGINT AS facility,
+       ((event_id % 192) % 8)::BIGINT AS severity
+FROM events
+"""
+
+
+def _values_cte() -> str:
+    fac = ", ".join(f"({i}, '{n}')" for i, n in enumerate(FACILITY_NAMES))
+    sev = ", ".join(
+        f"({i}, '{n}', '{c}')"
+        for i, (n, c) in enumerate(zip(SEVERITY_NAMES, SEVERITY_CLASS)))
+    return (f"WITH fac(facility, facility_name) AS (VALUES {fac}), "
+            f"sev(severity, severity_name, severity_class) AS (VALUES {sev})")
+
+
+def syslog_enrich_names(spark, sf):
+    """Broadcast-join enrichment of parsed lines with facility/severity
+    name dims."""
+    from .enrich import dim_facility, dim_severity
+
+    ev = _t(spark, sf, "events")
+    src = ev.select(F.col("event_id").alias("doc_id"),
+                    _line_3164_col().alias("raw"))
+    out = _parse_lines(spark, src).select(
+        "doc_id",
+        F.col("p_facility").cast("int").alias("facility"),
+        F.col("p_severity").cast("int").alias("severity"))
+    return (out
+            .join(F.broadcast(dim_facility(spark)), "facility", "left")
+            .join(F.broadcast(dim_severity(spark)), "severity", "left")
+            .select("doc_id", "facility_name", "severity_name",
+                    "severity_class"))
+
+
+SQL_SYSLOG_ENRICH_NAMES = _values_cte() + """
+SELECT e.event_id AS doc_id, f.facility_name, s.severity_name,
+       s.severity_class
+FROM events e
+LEFT JOIN fac f ON f.facility = (e.event_id % 192) // 8
+LEFT JOIN sev s ON s.severity = (e.event_id % 192) % 8
+"""
+
+
+def syslog_route_counts(spark, sf):
+    """Fan-out routing counts per (rfc, sink_class) with a malformed subset
+    dead-lettered (event_id%10==9 -> PriorityTooLong)."""
+    from .enrich import dim_severity
+    from .route import with_route_columns
+
+    ev = _t(spark, sf, "events")
+    line = (F.when(F.col("event_id") % 10 == 9,
+                   F.lit("<99999>Oct 11 22:14:15 h t: x"))
+             .otherwise(_line_3164_col()))
+    src = ev.select(F.col("event_id").alias("doc_id"), line.alias("raw"))
+    parsed = _parse_lines(spark, src).select(
+        "doc_id", "rfc",
+        F.col("p_severity").cast("int").alias("severity"),
+        F.col("p_parse_error").alias("parse_error"))
+    routed = with_route_columns(
+        parsed.join(F.broadcast(dim_severity(spark)), "severity", "left"))
+    return (routed.groupBy(F.col("rfc").cast("long").alias("rfc"),
+                           "sink_class")
+                  .agg(F.count("*").alias("n")))
+
+
+SQL_SYSLOG_ROUTE_COUNTS = """
+SELECT 1::BIGINT AS rfc,
+       CASE WHEN event_id % 10 = 9 THEN 'dead'
+            WHEN (event_id % 192) % 8 <= 3 THEN 'crit'
+            WHEN (event_id % 192) % 8 <= 5 THEN 'warn'
+            ELSE 'info' END AS sink_class,
+       count(*)::BIGINT AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def syslog_hourly_agg(spark, sf):
+    """facility x severity x hour counts (the per-sink aggregate)."""
+    ev = _t(spark, sf, "events")
+    src = ev.select(F.col("event_id").alias("doc_id"),
+                    _line_3164_col().alias("raw"))
+    out = _parse_lines(spark, src)
+    return (out.where(F.col("p_parse_error").isNull())
+               .groupBy(F.col("p_facility").cast("long").alias("facility"),
+                        F.col("p_severity").cast("long").alias("severity"),
+                        F.date_format(F.date_trunc("hour", "p_ts"),
+                                      "yyyy-MM-dd HH:00:00").alias("hour"))
+               .agg(F.count("*").alias("n_events")))
+
+
+SQL_SYSLOG_HOURLY_AGG = """
+SELECT ((event_id % 192) // 8)::BIGINT AS facility,
+       ((event_id % 192) % 8)::BIGINT AS severity,
+       '2025-' || strftime(date_trunc('hour', ts), '%m-%d %H:00:00') AS hour,
+       count(*)::BIGINT AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def syslog_error_taxonomy(spark, sf):
+    """Malformed-line families -> exact parse_error codes (error-as-data)."""
+    ev = _t(spark, sf, "events")
+    fam = F.col("event_id") % 6
+    line = (F.when(fam == 0, F.lit(""))
+             .when(fam == 1, F.lit("7>Oct 11 22:14:15 h t: x"))
+             .when(fam == 2, F.lit("<>Oct 11 22:14:15 h t: x"))
+             .when(fam == 3, F.lit("<1233>Oct 11 22:14:15 h t: x"))
+             .when(fam == 4, F.lit("<7a>Oct 11 22:14:15 h t: x"))
+             .otherwise(F.lit("<34>Foo 99 99:99:99 h t: x")))
+    src = ev.select(F.col("event_id").alias("doc_id"), line.alias("raw"))
+    out = _parse_lines(spark, src)
+    return (out.groupBy(F.col("p_parse_error").alias("parse_error"))
+               .agg(F.count("*").alias("n")))
+
+
+SQL_SYSLOG_ERROR_TAXONOMY = """
+SELECT CASE event_id % 6
+         WHEN 0 THEN 'DetectFailed'
+         WHEN 1 THEN 'PriorityNoStart'
+         WHEN 2 THEN 'PriorityTooShort'
+         WHEN 3 THEN 'PriorityTooLong'
+         WHEN 4 THEN 'PriorityNonDigit'
+         ELSE 'TimestampUnknownFormat' END AS parse_error,
+       count(*)::BIGINT AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def syslog_token_roundtrip(spark, sf):
+    """tokenize -> detokenize must be the identity on real document text."""
+    docs = _t(spark, sf, "documents")
+    out = (docs.withColumn("tokens", tokenize_col("text"))
+               .withColumn("back", detokenize_col("tokens"))
+               .where(F.col("back") == F.col("text")))
+    return out.agg(F.count("*").alias("n_roundtrip_exact"))
+
+
+SQL_SYSLOG_TOKEN_ROUNDTRIP = """
+SELECT count(*)::BIGINT AS n_roundtrip_exact FROM documents
+"""
+
+
+# ------------------------------------------------------- relational core ---
+
+def agg_lineitem_pricing(spark, sf):
+    """TPC-H Q1-style aggregation; money in integer cents (floor) to keep
+    sums order-independent and cross-engine exact."""
+    li = _t(spark, sf, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                   F.sum(F.floor(F.col("l_extendedprice") * 100))
+                    .alias("sum_base_cents"),
+                   F.sum(F.floor(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount")) * 100))
+                    .alias("sum_disc_cents"),
+                   F.count("*").alias("count_order")))
+
+
+SQL_AGG_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+           AS sum_disc_cents,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def join_broadcast_segment_revenue(spark, sf):
+    """orders x customer broadcast join -> revenue cents per market segment."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (o.join(F.broadcast(c),
+                   o.o_custkey == c.c_custkey, "inner")
+             .groupBy("c_mktsegment")
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100))
+                   .alias("revenue_cents"),
+                  F.count("*").alias("n_orders")))
+
+
+SQL_JOIN_BROADCAST_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def window_topk_orders(spark, sf):
+    """Top-3 orders per customer by price (deterministic id tiebreak)."""
+    o = _t(spark, sf, "orders")
+    w = (Window.partitionBy("o_custkey")
+               .orderBy(F.floor(F.col("o_totalprice") * 100).desc(),
+                        F.col("o_orderkey").asc()))
+    return (o.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= 3)
+             .select(F.col("o_custkey").cast("long").alias("custkey"),
+                     F.col("o_orderkey").cast("long").alias("orderkey"),
+                     F.col("rn").cast("long").alias("rn")))
+
+
+SQL_WINDOW_TOPK_ORDERS = """
+SELECT o_custkey::BIGINT AS custkey, o_orderkey::BIGINT AS orderkey,
+       rn::BIGINT AS rn
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY floor(o_totalprice*100) DESC,
+                                     o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def setop_premium_only_customers(spark, sf):
+    """EXCEPT: customers who placed only high-value orders (>150k)."""
+    o = _t(spark, sf, "orders")
+    hi = (o.where(F.col("o_totalprice") > 150000)
+           .select(F.col("o_custkey").cast("long").alias("custkey"))
+           .distinct())
+    lo = (o.where(F.col("o_totalprice") <= 150000)
+           .select(F.col("o_custkey").cast("long").alias("custkey"))
+           .distinct())
+    return hi.subtract(lo)
+
+
+SQL_SETOP_PREMIUM_ONLY_CUSTOMERS = """
+SELECT DISTINCT o_custkey::BIGINT AS custkey FROM orders
+WHERE o_totalprice > 150000
+EXCEPT
+SELECT DISTINCT o_custkey::BIGINT AS custkey FROM orders
+WHERE o_totalprice <= 150000
+"""
+
+
+def sort_limit_top_lineitems(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.select(F.col("l_orderkey").cast("long").alias("orderkey"),
+                      F.col("l_linenumber").cast("long").alias("linenumber"),
+                      F.floor(F.col("l_extendedprice") * 100)
+                       .alias("price_cents"))
+              .orderBy(F.col("price_cents").desc(), F.col("orderkey").asc(),
+                       F.col("linenumber").asc())
+              .limit(100))
+
+
+SQL_SORT_LIMIT_TOP_LINEITEMS = """
+SELECT l_orderkey::BIGINT AS orderkey, l_linenumber::BIGINT AS linenumber,
+       floor(l_extendedprice * 100)::BIGINT AS price_cents
+FROM lineitem
+ORDER BY price_cents DESC, orderkey ASC, linenumber ASC
+LIMIT 100
+"""
+
+
+# ------------------------------------------- training-data pipeline ops ---
+
+def dedup_exact_documents(spark, sf):
+    """Exact dedup by content hash: full-text hash picks the keeper doc per
+    group; a 4-word-prefix hash also reported so the check exercises real
+    duplicate groups on this corpus."""
+    d = _t(spark, sf, "documents")
+    prefix = F.expr("array_join(slice(split(text, ' '), 1, 4), ' ')")
+    return (d.groupBy(F.md5(prefix).alias("prefix_hash"))
+             .agg(F.count("*").alias("n_copies"),
+                  F.min(F.col("doc_id").cast("long")).alias("keep_doc_id"),
+                  F.count_distinct(F.md5(F.col("text")))
+                   .alias("n_distinct_texts"))
+             .where(F.col("n_copies") > 1))
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:4], ' '))
+           AS prefix_hash,
+       count(*)::BIGINT AS n_copies,
+       min(doc_id)::BIGINT AS keep_doc_id,
+       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# NB: Spark sequence(a, b) goes DESCENDING when a > b, so short docs need an
+# explicit empty-array guard rather than a greatest() clamp.
+_SHINGLES_SPARK = (
+    "array_distinct(case when size({w}) < 3 then array() "
+    "else transform(sequence(1, size({w}) - 2), "
+    "i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1), ' ', "
+    "element_at({w}, i + 2))) end)"
+)
+
+_SHINGLES_DUCK = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({w}) - 2,"
+    " 0)), i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+)
+
+
+def dedup_ngram_jaccard(spark, sf):
+    """Near-dup detection: word-3-gram Jaccard >= 0.8 within (lang, source)
+    blocks.  Blocking keeps the self-join quadratic only per block — the
+    strategy that survives scale (the block key would become the shuffle
+    key at 100 TB)."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source",
+        F.expr(_SHINGLES_SPARK.format(w="split(text, ' ')")).alias("sh"))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / union
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.source") == F.col("b.source"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .where(union > 0)
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.round(jac, 4).alias("jaccard"))
+             .where(F.col("jaccard") >= 0.8))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id::BIGINT AS doc_id, lang, source,
+         {_SHINGLES_DUCK.format(w="string_split(text, ' ')")} AS sh
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  AND round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8
+"""
+
+
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs: 4 md5-seeded min-hashes over word
+    3-grams, banded 2x2; pairs sharing a band bucket.  md5 gives identical
+    portable hash values in both engines; min over hex strings is a valid
+    min-hash (any total order works)."""
+    w = "split(text, ' ')"
+    sh = _SHINGLES_SPARK.format(w=w)
+    sig = ", ".join(
+        f"array_min(transform({sh}, s -> md5(concat('{k}|', s)))) AS h{k}"
+        for k in range(4))
+    d = _t(spark, sf, "documents")
+    d.createOrReplaceTempView("documents_mh")
+    sigs = spark.sql(
+        f"SELECT cast(doc_id as bigint) doc_id, {sig} "
+        f"FROM documents_mh WHERE size({w}) >= 3")
+    bands = sigs.select(
+        "doc_id",
+        F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1").alias("band"),
+    ).union(sigs.select(
+        "doc_id",
+        F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3").alias("band")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+
+
+def _sql_minhash() -> str:
+    w = "string_split(text, ' ')"
+    sh = _SHINGLES_DUCK.format(w=w)
+    sig = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5('{k}|' || s))) AS h{k}"
+        for k in range(4))
+    return f"""
+WITH sigs AS (
+  SELECT doc_id::BIGINT AS doc_id, {sig}
+  FROM documents WHERE len({w}) >= 3
+), bands AS (
+  SELECT doc_id, 'b0:' || h0 || '|' || h1 AS band FROM sigs
+  UNION ALL
+  SELECT doc_id, 'b1:' || h2 || '|' || h3 AS band FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+
+
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-5: query vectors (vec_id<10) vs the corpus.
+    Ranks computed on the ROUNDED similarity with an id tiebreak so both
+    engines rank identically.  The scale path broadcasts the query side —
+    corpus stays partition-local (no shuffle of the big side)."""
+    e = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = e.where(F.col("vec_id") >= 10)
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, "
+                 "(acc, x) -> acc + x)")
+    nq = F.expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, "
+                "(acc, x) -> acc + x))")
+    nc = F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, "
+                "(acc, x) -> acc + x))")
+    sim = F.round(dot / (nq * nc), 4)
+    scored = (c.crossJoin(F.broadcast(q))
+               .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                       sim.alias("cosine")))
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= 5))
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH v AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+c AS (SELECT vec_id, v FROM v WHERE vec_id >= 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(qv)),
+                                       i -> qv[i] * v[i])) /
+               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                sqrt(list_sum(list_transform(v, x -> x*x)))), 4) AS cosine
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for"]
+
+
+def text_quality_scores(spark, sf):
+    """Quality features per doc: word count, mean word length (x100 int),
+    stopword count, punctuation count, quality gate flag."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    sw = ",".join(f"'{s}'" for s in _STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), w -> w in ({sw})))")
+    n_punct = F.size(F.split(F.col("text"), r"[.,!?;]")) - 1
+    mean_wlen = F.floor(
+        (F.length(F.regexp_replace(F.col("text"), " ", "")) * 100)
+        / n_words)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_wlen.cast("long").alias("mean_word_len_x100"),
+        n_stop.cast("long").alias("n_stopwords"),
+        n_punct.cast("long").alias("n_punct"),
+        ((n_words >= 10) & (n_stop > 0)).alias("passes_quality"))
+
+
+SQL_TEXT_QUALITY_SCORES = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_words,
+       floor(length(replace(text, ' ', '')) * 100 /
+             len(string_split(text, ' ')))::BIGINT AS mean_word_len_x100,
+       len(list_filter(string_split(text, ' '),
+           w -> w IN ({",".join(f"'{s}'" for s in _STOPWORDS)})))::BIGINT
+           AS n_stopwords,
+       (len(string_split_regex(text, '[.,!?;]')) - 1)::BIGINT AS n_punct,
+       (len(string_split(text, ' ')) >= 10 AND
+        len(list_filter(string_split(text, ' '),
+            w -> w IN ({",".join(f"'{s}'" for s in _STOPWORDS)}))) > 0)
+           AS passes_quality
+FROM documents
+"""
+
+
+def text_langid_heuristic(spark, sf):
+    """n-gram/stopword language-ID heuristic vs the labeled lang column."""
+    d = _t(spark, sf, "documents")
+    sw = ",".join(f"'{s}'" for s in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> w in ({sw})))")
+    guess = F.when(n_stop >= 2, F.lit("en")).otherwise(F.lit("other"))
+    return (d.select("lang", guess.alias("lang_guess"))
+             .groupBy("lang", "lang_guess")
+             .agg(F.count("*").alias("n")))
+
+
+SQL_TEXT_LANGID_HEURISTIC = f"""
+SELECT lang,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+            w -> w IN ({",".join(f"'{s}'" for s in _STOPWORDS)}))) >= 2
+            THEN 'en' ELSE 'other' END AS lang_guess,
+       count(*)::BIGINT AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def text_fingerprint(spark, sf):
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (portable across engines); returns fingerprint + doc count."""
+    d = _t(spark, sf, "documents")
+    norm = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (d.groupBy(norm.alias("fingerprint"))
+             .agg(F.count("*").alias("n_docs")))
+
+
+SQL_TEXT_FINGERPRINT = r"""
+SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+       count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def text_token_count(spark, sf):
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (split on non-alphanumerics, 4-char chunks)."""
+    d = _t(spark, sf, "documents")
+    n_ws = F.size(F.split(F.col("text"), " "))
+    n_alnum = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]", ""))
+    n_subword = F.ceil(n_alnum / 4)
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    n_ws.cast("long").alias("n_ws_tokens"),
+                    n_subword.cast("long").alias("n_subword_est"))
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id::BIGINT AS doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+            / 4.0)::BIGINT AS n_subword_est
+FROM documents
+"""
+
+
+# registry: name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
+    "syslog_parse_rfc5424": (syslog_parse_rfc5424, SQL_SYSLOG_PARSE_RFC5424),
+    "syslog_detect_mix": (syslog_detect_mix, SQL_SYSLOG_DETECT_MIX),
+    "syslog_priority_split": (syslog_priority_split,
+                              SQL_SYSLOG_PRIORITY_SPLIT),
+    "syslog_enrich_names": (syslog_enrich_names, SQL_SYSLOG_ENRICH_NAMES),
+    "syslog_route_counts": (syslog_route_counts, SQL_SYSLOG_ROUTE_COUNTS),
+    "syslog_hourly_agg": (syslog_hourly_agg, SQL_SYSLOG_HOURLY_AGG),
+    "syslog_error_taxonomy": (syslog_error_taxonomy,
+                              SQL_SYSLOG_ERROR_TAXONOMY),
+    "syslog_token_roundtrip": (syslog_token_roundtrip,
+                               SQL_SYSLOG_TOKEN_ROUNDTRIP),
+    "agg_lineitem_pricing": (agg_lineitem_pricing, SQL_AGG_LINEITEM_PRICING),
+    "join_broadcast_segment_revenue": (join_broadcast_segment_revenue,
+                                       SQL_JOIN_BROADCAST_SEGMENT_REVENUE),
+    "window_topk_orders": (window_topk_orders, SQL_WINDOW_TOPK_ORDERS),
+    "setop_premium_only_customers": (setop_premium_only_customers,
+                                     SQL_SETOP_PREMIUM_ONLY_CUSTOMERS),
+    "sort_limit_top_lineitems": (sort_limit_top_lineitems,
+                                 SQL_SORT_LIMIT_TOP_LINEITEMS),
+    "dedup_exact_documents": (dedup_exact_documents,
+                              SQL_DEDUP_EXACT_DOCUMENTS),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "ann_cosine_topk": (ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "text_quality_scores": (text_quality_scores, SQL_TEXT_QUALITY_SCORES),
+    "text_langid_heuristic": (text_langid_heuristic,
+                              SQL_TEXT_LANGID_HEURISTIC),
+    "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_token_count": (text_token_count, SQL_TEXT_TOKEN_COUNT),
+}

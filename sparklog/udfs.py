@@ -91,6 +91,35 @@ def make_parse_udf(cfg: ParseConfig | None = None):
     return parse_syslog
 
 
+# rfc joins the struct so decode+detect+parse is ONE Arrow round trip
+PARSED_SCHEMA_TOKENS = T.StructType(
+    [T.StructField("rfc", T.IntegerType())] + PARSED_SCHEMA.fields)
+
+
+def make_parse_from_tokens_udf(cfg: ParseConfig | None = None):
+    """pandas UDF (tokens array<int>) -> (rfc + parsed) struct.
+
+    Detokenize (numpy utf-32 bulk decode), dialect detection, and both
+    grammars run in a single Python pass per Arrow batch.  This keeps the
+    token arrays out of JVM per-char array ops (split/transform/char),
+    which otherwise dominate GC at scale.
+    """
+    cfg = cfg or ParseConfig()
+
+    @F.pandas_udf(PARSED_SCHEMA_TOKENS)
+    def parse_tokens(tokens: pd.Series) -> pd.DataFrame:
+        from .encoding import detokenize_pandas
+        from .grammar import detect_rfc
+
+        raw = detokenize_pandas(tokens)
+        rfc = detect_rfc(raw)
+        out = parse_syslog_frame(raw, rfc, cfg)
+        out.insert(0, "rfc", rfc.astype("Int64"))
+        return out
+
+    return parse_tokens
+
+
 def detect_rfc_col(raw_col: str = "raw"):
     """JVM-side (codegen) dialect detection, quirk-exact vs
     syslogparser.go:30-56 — see grammar.detect_rfc for the taxonomy.
@@ -108,6 +137,6 @@ def detect_rfc_col(raw_col: str = "raw"):
         .when(p == 0, F.lit(0))
         .when(p == 10, F.lit(0))         # '>' at index 9: version outside
         .when(after == "", F.lit(0))     # '>' is the last byte (ref panics)
-        .when(after.rlike("^[0-9]$"), F.lit(RFC_5424))
+        .when(F.ascii(after).between(48, 57), F.lit(RFC_5424))
         .otherwise(F.lit(RFC_3164))
     ).cast("int")
