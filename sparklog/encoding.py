@@ -34,6 +34,45 @@ def tokenize_pandas(raw: pd.Series) -> pd.Series:
     )
 
 
+def detokenize_arrow(tokens: pd.Series):
+    """list[int32] code points -> pa.StringArray without per-row Python.
+
+    Flat codepoints -> one utf-32 decode -> one utf-8 encode; per-row BYTE
+    offsets derived vectorially from codepoint widths (1/2/3/4 bytes), so
+    the Arrow string buffer is built in two passes even for non-ASCII.
+    """
+    import pyarrow as pa
+
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64,
+                       count=len(tokens))
+    if len(lens) == 0:
+        return pa.array([], pa.string())
+    flat = (np.concatenate([np.asarray(t, dtype=np.int32) for t in tokens])
+            if lens.sum() else np.array([], dtype=np.int32))
+
+    byte_offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+    if len(flat) == 0 or (flat < 0x80).all():
+        # ASCII fast path (syslog is PRINTUSASCII): utf-8 bytes ARE the
+        # codepoints — one narrowing cast, offsets = char offsets
+        data = flat.astype(np.uint8).tobytes()
+        np.cumsum(lens, out=byte_offsets[1:])
+        return pa.StringArray.from_buffers(
+            len(lens), pa.py_buffer(byte_offsets.tobytes()),
+            pa.py_buffer(data))
+
+    text = flat.astype("<u4").tobytes().decode("utf-32-le")
+    data = text.encode("utf-8")
+    blen = (1 + (flat >= 0x80).astype(np.int64) + (flat >= 0x800)
+            + (flat >= 0x10000))
+    cum = np.cumsum(blen)
+    ends = np.cumsum(lens)
+    byte_offsets[1:] = np.where(ends > 0, cum[np.maximum(ends - 1, 0)], 0)
+    byte_offsets = np.maximum.accumulate(byte_offsets).astype(np.int32)
+    return pa.StringArray.from_buffers(
+        len(lens), pa.py_buffer(byte_offsets.tobytes()),
+        pa.py_buffer(data))
+
+
 def detokenize_pandas(tokens: pd.Series) -> pd.Series:
     """list[int32] -> str, Arrow-friendly: flatten + single decode + split."""
     lens = tokens.map(len).to_numpy()

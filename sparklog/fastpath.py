@@ -1,0 +1,245 @@
+"""Arrow-native fast path for the syslog grammars.
+
+One ``pc.extract_regex`` (re2, C++) pass captures the whole canonical line
+shape; post-validation masks (ranges, length caps, window rules) decide
+per-row whether the fast result is EXACTLY what the full grammar would
+produce.  Rows that miss — malformed lines, NILVALUE timestamps, quirk
+shapes (empty tags, 32-char windows, 7-digit fractions, `.Z`, unvalidated
+separators) — fall back to the masked-column slow path in grammar.py, so
+semantics are identical by construction and verified by differential tests
+(tests/test_fastpath_equiv.py runs both paths over golden + hypothesis
+corpora and asserts frame equality).
+
+Throughput: the fast path is ~10-30x the object-dtype pandas path; at
+cluster scale the parse UDF cost is what the BASELINE sequences/sec metric
+measures, so this is the hot loop of the whole pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MONTH_LIST = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+               "Sep", "Oct", "Nov", "Dec"]
+_DAYS_LEAP = np.array([31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                      dtype=np.int64)
+_POW10 = np.array([1, 10, 100, 1000, 10000, 100000, 1000000],
+                  dtype=np.int64)
+
+_NS_MIN = pd.Timestamp.min.value // 1000 + 1
+_NS_MAX = pd.Timestamp.max.value // 1000 - 1
+
+RX_3164 = (
+    r"^<(?P<pri>[0-9]{1,3})>"
+    r"(?P<mon>Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+    r"(?P<sp1> {1,2})(?P<day>[0-9]{1,2})(?P<sp2> {1,2})"
+    r"(?P<hh>[0-9]{2}):(?P<mi>[0-9]{2}):(?P<se>[0-9]{2}) "
+    r"(?P<host>[^ ]*) (?P<tag>[^ \[\]:]+)(?P<after>(?s:.*))$"
+)
+
+RX_5424 = (
+    r"^<(?P<pri>[0-9]{1,3})>(?P<ver>[0-9]) "
+    r"(?P<y>[0-9]{4})-(?P<mo>[0-9]{2})-(?P<d>[0-9]{2})T"
+    r"(?P<hh>[0-9]{2}):(?P<mi>[0-9]{2}):(?P<se>[0-9]{2})"
+    r"(?:\.(?P<fr>[0-9]{1,6}))?"
+    r"(?P<tz>Z|[+-][0-9]{2}:[0-9]{2}) "
+    r"(?P<host>[^ ]*) (?P<app>[^ ]*) (?P<proc>[^ ]*) (?P<msgid>[^ ]*) "
+    r"(?P<rest>(?s:.+))$"
+)
+
+
+def _cast0(arr, typ=pa.int64()):
+    """Cast digit strings to int; '' (absent optional group) -> 0."""
+    return pc.cast(pc.if_else(pc.equal(arr, ""), "0", arr), typ)
+
+
+def _np(arr) -> np.ndarray:
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _civil_days(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Days since 1970-01-01 for (possibly out-of-calendar) civil dates,
+    with Go time.Date month-start + day-offset normalization applied by the
+    caller (d is always passed as 1 here; day-1 added separately)."""
+    y = y - (m <= 2)
+    era = np.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = np.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _epoch_us(y, mo, day, hh, mi, se, us, tz_min):
+    days = _civil_days(y, mo, np.ones_like(y)) + (day - 1)
+    total = (days * 86400 + hh * 3600 + mi * 60 + se) * 1_000_000 + us
+    return total - tz_min * 60_000_000
+
+
+def _us_to_dt64(us: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    in_range = (us >= _NS_MIN) & (us <= _NS_MAX)
+    ns = np.where(in_range, us, 0) * 1000
+    out = ns.view("M8[ns]").copy()
+    out[~(valid & in_range)] = np.datetime64("NaT")
+    return out
+
+
+def _sd_split(rest):
+    """STRUCTURED-DATA boundary per rfc5424/rfc5424.go:597-636 using the
+    sentinel-split trick: append '] ' so split_pattern(max_splits=1) always
+    yields two parts, then strip the two appended chars from the message."""
+    p = _np(pc.find_substring(rest, "] "))
+    sent = pc.binary_join_element_wise(rest, "] ", "")
+    parts = pc.split_pattern(sent, "] ", max_splits=1)
+    first = pc.list_element(parts, 0)
+    second = pc.list_element(parts, 1)
+    has_term = p >= 0
+    sd = pc.if_else(pa.array(has_term),
+                    pc.binary_join_element_wise(first, "]", ""),
+                    rest)
+    msg = pc.if_else(pa.array(has_term),
+                     pc.utf8_trim(pc.utf8_slice_codeunits(second, 0, -2),
+                                  " "),
+                     pa.scalar("", pa.string()))
+    return sd, msg, has_term
+
+
+def _as_arrow(raw) -> pa.Array:
+    if isinstance(raw, (pa.Array, pa.ChunkedArray)):
+        return raw
+    return pa.array(raw.tolist(), pa.string())
+
+
+def parse_rfc3164_fast(raw, default_year: int):
+    """-> (hit mask ndarray, dict of column ndarrays for hit rows computed
+    over the full index; caller filters by the mask)."""
+    arr = _as_arrow(raw)
+    arr = pc.utf8_slice_codeunits(arr, 0, 2048)
+    ex = pc.extract_regex(arr, RX_3164)
+    valid = _np(pc.is_valid(ex))
+    if not valid.any():
+        return valid, {}
+    g = {f.name: pc.struct_field(ex, i)
+         for i, f in enumerate(ex.type)}
+    g = {k: pc.if_else(pc.is_valid(v), v, "") for k, v in g.items()}
+
+    pri = _np(_cast0(g["pri"]))
+    mon_idx = _np(pc.index_in(g["mon"],
+                              value_set=pa.array(_MONTH_LIST)))
+    mon_idx = np.where(valid, mon_idx, 0).astype(np.int64)
+    day = _np(_cast0(g["day"]))
+    hh, mi, se = (_np(_cast0(g[k])) for k in ("hh", "mi", "se"))
+    wlen = (_np(pc.utf8_length(g["sp1"])) + _np(pc.utf8_length(g["day"]))
+            + _np(pc.utf8_length(g["sp2"])))
+    tag_len = _np(pc.utf8_length(g["tag"]))
+
+    ok = (valid & (wlen == 4)
+          & (day >= 1) & (day <= _DAYS_LEAP[mon_idx])
+          & (hh <= 23) & (mi <= 59) & (se <= 59)
+          & (tag_len <= 31))
+
+    # tag termination: '' (EOL) / space -> trivial; '[' ']' ':' -> the
+    # enough-mode scan must find a space inside the 32-char window, else
+    # fall back to the slow path (window-exhaustion quirk).
+    after = g["after"]
+    first = pc.utf8_slice_codeunits(after, 0, 1)
+    f_np = _np(first)
+    is_special = (f_np == "[") | (f_np == "]") | (f_np == ":")
+    p_space = _np(pc.find_substring(after, " "))
+    window_rem = 32 - tag_len
+    special_ok = (p_space >= 0) & (p_space < window_rem)
+    ok &= ~is_special | special_ok
+
+    # content: for special rows = trim(after past the first space); the
+    # sentinel-append is harmless because content is space-trimmed anyway
+    sent = pc.binary_join_element_wise(after, " ", "")
+    parts = pc.split_pattern(sent, " ", max_splits=1)
+    after_space = pc.list_element(parts, 1)
+    content = pc.if_else(
+        pa.array(is_special & special_ok),
+        pc.utf8_trim(after_space, " "),
+        pc.utf8_trim(after, " "))
+
+    us = _epoch_us(np.full_like(pri, default_year), mon_idx + 1, day,
+                   hh, mi, se, np.zeros_like(pri), np.zeros_like(pri))
+    ts = _us_to_dt64(us, ok)
+
+    cols = {
+        "priority": pri, "facility": pri // 8, "severity": pri % 8,
+        "ts": ts, "tz_offset_minutes": np.zeros_like(pri),
+        "hostname": _np(g["host"]).astype(object),
+        "tag": _np(g["tag"]).astype(object),
+        "content": _np(content).astype(object),
+    }
+    return ok, cols
+
+
+def parse_rfc5424_fast(raw):
+    arr = _as_arrow(raw)
+    arr = pc.utf8_slice_codeunits(arr, 0, 3048)
+    ex = pc.extract_regex(arr, RX_5424)
+    valid = _np(pc.is_valid(ex))
+    if not valid.any():
+        return valid, {}
+    g = {f.name: pc.struct_field(ex, i) for i, f in enumerate(ex.type)}
+    g = {k: pc.if_else(pc.is_valid(v), v, "") for k, v in g.items()}
+
+    pri = _np(_cast0(g["pri"]))
+    ver = _np(_cast0(g["ver"]))
+    y, mo, d, hh, mi, se = (_np(_cast0(g[k]))
+                            for k in ("y", "mo", "d", "hh", "mi", "se"))
+    fr_len = _np(pc.utf8_length(g["fr"]))
+    us = _np(_cast0(g["fr"])) * _POW10[6 - np.minimum(fr_len, 6)]
+
+    tz = g["tz"]
+    tz_np = _np(tz)
+    is_z = tz_np == "Z"
+    tz_sign = np.where(np.char.startswith(tz_np.astype(str), "-"), -1, 1)
+    tz_hh = _np(_cast0(pc.utf8_slice_codeunits(tz, 1, 3)))
+    tz_mi = _np(_cast0(pc.utf8_slice_codeunits(tz, 4, 6)))
+    tz_min = np.where(is_z, 0, tz_sign * (tz_hh * 60 + tz_mi))
+
+    app_len = _np(pc.utf8_length(g["app"]))
+    proc_len = _np(pc.utf8_length(g["proc"]))
+    msgid_len = _np(pc.utf8_length(g["msgid"]))
+
+    ok = (valid
+          & (mo >= 1) & (mo <= 12) & (d >= 1) & (d <= 31)
+          & (hh <= 23) & (mi <= 59) & (se <= 59)
+          & (is_z | ((tz_hh <= 23) & (tz_mi <= 59)))
+          & (app_len <= 47) & (proc_len <= 127) & (msgid_len <= 31))
+
+    # STRUCTURED-DATA: NILVALUE first char '-' (trailing junk after '-' is
+    # consumed by the header's unvalidated skip); '[' blocks via '] '
+    # terminator; anything else -> slow path (error rows)
+    rest = g["rest"]
+    c0 = _np(pc.utf8_slice_codeunits(rest, 0, 1))
+    is_nil_sd = c0 == "-"
+    is_open = c0 == "["
+    sd_blocks, msg_blocks, has_term = _sd_split(rest)
+    ends_br = _np(pc.ends_with(rest, "]"))
+    sd_ok = is_nil_sd | (is_open & (has_term | ends_br))
+    ok &= sd_ok
+
+    nil_msg = pc.utf8_trim(pc.utf8_slice_codeunits(rest, 2, 2 ** 30), " ")
+    sd = pc.if_else(pa.array(is_nil_sd), pa.scalar("-", pa.string()),
+                    sd_blocks)
+    msg = pc.if_else(pa.array(is_nil_sd), nil_msg, msg_blocks)
+
+    epoch = _epoch_us(y, mo, d, hh, mi, se, us, tz_min)
+    ts = _us_to_dt64(epoch, ok)
+
+    cols = {
+        "priority": pri, "facility": pri // 8, "severity": pri % 8,
+        "version": ver, "ts": ts, "tz_offset_minutes": tz_min,
+        "hostname": _np(g["host"]).astype(object),
+        "app_name": _np(g["app"]).astype(object),
+        "proc_id": _np(g["proc"]).astype(object),
+        "msg_id": _np(g["msgid"]).astype(object),
+        "structured_data": _np(sd).astype(object),
+        "message": _np(msg).astype(object),
+    }
+    return ok, cols

@@ -257,7 +257,105 @@ def _localize(wall: pd.Series, location: str, err: pd.Series):
     return utc, off
 
 
+def _as_pandas(raw) -> pd.Series:
+    if isinstance(raw, pd.Series):
+        return raw
+    return pd.Series(raw.to_pandas().to_numpy(), dtype=object)
+
+
+def _fast_eligible(cfg: ParseConfig) -> bool:
+    return (cfg.priority is None and not cfg.hostname and not cfg.tag
+            and cfg.ts_format is None
+            and cfg.location in ("UTC", "utc", None))
+
+
+_INT_OUT_COLS = ("priority", "facility", "severity", "version",
+                 "tz_offset_minutes")
+
+
+def _merge_fast_slow(raw: pd.Series, cfg: ParseConfig, fast_fn, slow_fn,
+                     fast_only_cols: dict) -> pd.DataFrame:
+    """Run the Arrow fast path; slow-parse only the rows it punts on.
+
+    Output assembly is positional array fill (pd.concat over mixed-NA
+    object frames costs more than the parse itself).  ``raw`` may be a
+    pandas Series or a pa.Array/ChunkedArray (the zero-object-churn path
+    from the tokens UDF)."""
+    try:
+        import pyarrow as pa
+        is_arrow = isinstance(raw, (pa.Array, pa.ChunkedArray))
+    except ImportError:  # pragma: no cover
+        is_arrow = False
+    if is_arrow:
+        pos = None
+        index = pd.RangeIndex(len(raw))
+        hit, cols = fast_fn(raw)
+    else:
+        pos = raw.reset_index(drop=True).fillna("").astype(object)
+        index = raw.index
+        hit, cols = fast_fn(pos)
+
+    def run_slow(mask):
+        if pos is not None:
+            return slow_fn(pos[mask], cfg)
+        sub = pd.Series(raw.filter(pa.array(mask)).to_pandas().to_numpy(),
+                        index=np.flatnonzero(mask))
+        return slow_fn(sub, cfg)
+
+    if not hit.any():
+        out = run_slow(np.ones(len(hit), dtype=bool))
+        out.index = index
+        return out
+
+    n = len(hit)
+    miss = ~hit
+    slow = run_slow(miss) if miss.any() else None
+    data: dict = {}
+    for c in _OUTPUT_COLUMNS:
+        if c in _INT_OUT_COLS:
+            flt = np.full(n, np.nan)
+            if c in cols:
+                flt[hit] = cols[c][hit]
+            if slow is not None:
+                flt[miss] = slow[c].to_numpy(dtype="float64",
+                                             na_value=np.nan)
+            data[c] = pd.array(flt, dtype="Int64")
+        elif c == "ts":
+            ts = np.full(n, np.datetime64("NaT"), dtype="M8[ns]")
+            if c in cols:
+                ts[hit] = cols[c][hit]
+            if slow is not None:
+                ts[miss] = slow[c].to_numpy(dtype="M8[ns]")
+            data[c] = ts
+        else:
+            obj = np.full(n, None, dtype=object)
+            if c in cols:
+                obj[hit] = cols[c][hit]
+            elif c in fast_only_cols:
+                obj[hit] = fast_only_cols[c]
+            if slow is not None:
+                obj[miss] = slow[c].to_numpy(dtype=object)
+            data[c] = obj
+    out = pd.DataFrame(data, index=index)
+    return out
+
+
 def parse_rfc3164(raw: pd.Series, cfg: ParseConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Full RFC3164 parse: Arrow/re2 fast path for canonical lines with the
+    masked-column slow path for quirk/error/injected-config rows.  Both
+    paths are golden- and differential-tested to agree exactly."""
+    if _fast_eligible(cfg):
+        from . import fastpath
+
+        return _merge_fast_slow(
+            raw, cfg,
+            lambda s: fastpath.parse_rfc3164_fast(s, cfg.default_year),
+            _parse_rfc3164_slow,
+            fast_only_cols={"ts_is_nil": False, "parse_error": None})
+    return _parse_rfc3164_slow(_as_pandas(raw), cfg)
+
+
+def _parse_rfc3164_slow(raw: pd.Series, cfg: ParseConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Full RFC3164 parse (rfc3164/rfc3164.go:98-127) as masked column ops."""
     s = raw.fillna("").astype(object).str.slice(0, MAX_PACKET_LEN_3164)
     n = s.str.len()
@@ -340,6 +438,19 @@ def _atoi_field(sub: pd.Series, width: int):
 
 
 def parse_rfc5424(raw: pd.Series, cfg: ParseConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Full RFC5424 parse: Arrow/re2 fast path + slow-path fallback."""
+    if _fast_eligible(cfg):
+        from . import fastpath
+
+        return _merge_fast_slow(
+            raw, cfg,
+            lambda s: fastpath.parse_rfc5424_fast(s),
+            _parse_rfc5424_slow,
+            fast_only_cols={"ts_is_nil": False, "parse_error": None})
+    return _parse_rfc5424_slow(_as_pandas(raw), cfg)
+
+
+def _parse_rfc5424_slow(raw: pd.Series, cfg: ParseConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Full RFC5424 parse (rfc5424/rfc5424.go:118-143) as masked column ops."""
     s = raw.fillna("").astype(object).str.slice(0, MAX_PACKET_LEN_5424)
     n = s.str.len()
@@ -521,9 +632,10 @@ def parse_rfc5424(raw: pd.Series, cfg: ParseConfig = DEFAULT_CONFIG) -> pd.DataF
     return out[_OUTPUT_COLUMNS]
 
 
-def detect_rfc(raw: pd.Series) -> pd.Series:
-    """Dialect detection with the reference's quirks (syslogparser.go:30-56):
+def detect_rfc_arrow(arr) -> np.ndarray:
+    """Dialect detection on a pa.StringArray -> np.int64 codes.
 
+    Reference quirks preserved (syslogparser.go:30-56):
     * scans the first 10 bytes for '>';
     * no '>' found leaves v=0 (not NO_VERSION) -> reports RFC5424;
     * '>' at index 9 -> version out of the 10-byte window -> UNKNOWN;
@@ -532,18 +644,30 @@ def detect_rfc(raw: pd.Series) -> pd.Series:
     Buffers the reference would panic on (<10 bytes without '>', or '>' as
     the last byte) report UNKNOWN here.
     """
-    s = raw.fillna("").astype(object)
-    head = s.str.slice(0, 10)
-    p_gt = head.str.find(">")
-    after = head.str.extract(r"^[^>]{0,8}>(.)", expand=False)
-    n = s.str.len()
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    out = np.full(len(s), RFC_UNKNOWN, dtype=np.int64)
-    no_gt = (p_gt == -1).to_numpy()
-    out[no_gt & (n >= 10).to_numpy()] = RFC_5424     # latent v=0 quirk
-    has = ~no_gt
-    digit = after.str.isdigit().fillna(False).astype(bool).to_numpy()
-    ok_pos = (p_gt < 9).to_numpy() & after.notna().to_numpy()
-    out[has & ok_pos & digit] = RFC_5424
-    out[has & ok_pos & ~digit] = RFC_3164
-    return pd.Series(out, index=s.index)
+    head = pc.utf8_slice_codeunits(arr, 0, 10)
+    p_gt = pc.find_substring(head, ">").to_numpy(zero_copy_only=False)
+    n = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+    ex = pc.extract_regex(arr, r"^(?P<pre>(?s:[^>]{0,8}))>(?P<c>(?s:.))")
+    matched = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+    c = pc.if_else(pc.is_valid(ex), pc.struct_field(ex, 1), "")
+    c_np = c.to_numpy(zero_copy_only=False)
+
+    out = np.full(len(n), RFC_UNKNOWN, dtype=np.int64)
+    no_gt = p_gt < 0
+    out[no_gt & (n >= 10)] = RFC_5424                # latent v=0 quirk
+    digit = (c_np >= "0") & (c_np <= "9") & (c_np != "")
+    out[matched & digit] = RFC_5424
+    out[matched & ~digit] = RFC_3164
+    return out
+
+
+def detect_rfc(raw) -> pd.Series:
+    """Dialect detection over a pandas Series (see detect_rfc_arrow)."""
+    import pyarrow as pa
+
+    s = raw.fillna("").astype(object)
+    arr = pa.array(s.tolist(), pa.string())
+    return pd.Series(detect_rfc_arrow(arr), index=s.index)

@@ -32,10 +32,16 @@ class Manifest:
         cur = self._current_path()
         if not os.path.exists(cur):
             return {"snapshot_id": 0, "stages": {}}
-        with open(cur) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.dir, name)) as f:
-            return json.load(f)
+        try:
+            with open(cur) as f:
+                name = f.read().strip()
+            with open(os.path.join(self.dir, name)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            # dangling CURRENT or torn snapshot: the commit protocol is
+            # atomic-rename, so a broken pointer means an interrupted or
+            # tampered state — degrade to a full (idempotent) rerun
+            return {"snapshot_id": 0, "stages": {}}
 
     def commit_stage(self, stage: str, info: dict) -> dict:
         """Record a completed stage in a new snapshot (atomic rename)."""

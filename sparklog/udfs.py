@@ -54,6 +54,36 @@ def _to_arrow_frame(out: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _assemble(n: int, parts, unknown: np.ndarray,
+              index=None) -> pd.DataFrame:
+    """Positional fill of (mask, parsed-subset-frame) parts into one frame.
+    Avoids pd.concat over mixed-NA object frames (slower than the parse)."""
+    from .grammar import _OUTPUT_COLUMNS
+
+    data: dict = {}
+    for c in _OUTPUT_COLUMNS:
+        if c in _INT_COLS:
+            flt = np.full(n, np.nan)
+            for mask, df in parts:
+                flt[mask] = df[c].to_numpy(dtype="float64",
+                                           na_value=np.nan)
+            data[c] = pd.array(flt, dtype="Int64")
+        elif c == "ts":
+            ts = np.full(n, np.datetime64("NaT"), dtype="M8[ns]")
+            for mask, df in parts:
+                ts[mask] = df[c].to_numpy(dtype="M8[ns]")
+            data[c] = ts
+        else:
+            obj = np.full(n, None, dtype=object)
+            for mask, df in parts:
+                obj[mask] = df[c].to_numpy(dtype=object)
+            data[c] = obj
+    if unknown.any():
+        pe = data["parse_error"]
+        pe[unknown] = "DetectFailed"
+    return pd.DataFrame(data, index=index)
+
+
 def parse_syslog_frame(raw: pd.Series, rfc: pd.Series,
                        cfg: ParseConfig) -> pd.DataFrame:
     """Dispatch one batch to both grammars by detected dialect.
@@ -61,23 +91,46 @@ def parse_syslog_frame(raw: pd.Series, rfc: pd.Series,
     Rows with rfc==UNKNOWN get a 'DetectFailed' parse_error (the reference
     caller would have no parser to construct; we make it routable data).
     """
-    rfc = pd.Series(rfc, index=raw.index).fillna(0).astype(int)
-    out = pd.DataFrame(index=raw.index)
-    m3 = (rfc == RFC_3164).to_numpy()
-    m5 = (rfc == RFC_5424).to_numpy()
+    rfc = pd.Series(rfc, index=raw.index).fillna(0).astype(int).to_numpy()
+    raw = raw.reset_index(drop=True)
+    m3 = rfc == RFC_3164
+    m5 = rfc == RFC_5424
     parts = []
     if m3.any():
-        parts.append(parse_rfc3164(raw[m3], cfg))
+        parts.append((m3, parse_rfc3164(raw[m3], cfg)))
     if m5.any():
-        parts.append(parse_rfc5424(raw[m5], cfg))
-    if parts:
-        out = pd.concat(parts).reindex(raw.index)
-    else:
-        out = parse_rfc3164(raw.iloc[:0], cfg).reindex(raw.index)
-    unknown = ~(m3 | m5)
-    if unknown.any():
-        out.loc[unknown, "parse_error"] = "DetectFailed"
+        parts.append((m5, parse_rfc5424(raw[m5], cfg)))
+    out = _assemble(len(raw), parts, ~(m3 | m5))
     return _to_arrow_frame(out)
+
+
+def parse_tokens_arrow_frame(tokens: pd.Series,
+                             cfg: ParseConfig) -> pd.DataFrame:
+    """tokens -> parsed frame, Arrow end-to-end: detokenize builds a
+    pa.StringArray directly (no Python string objects), detection and the
+    grammar fast paths run as Arrow compute kernels; only quirk/error rows
+    drop to the pandas slow path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .encoding import detokenize_arrow
+    from .grammar import detect_rfc_arrow
+
+    arr = detokenize_arrow(tokens)
+    rfc = detect_rfc_arrow(arr)
+    m3 = rfc == RFC_3164
+    m5 = rfc == RFC_5424
+    parts = []
+    if m3.any():
+        parts.append((m3, parse_rfc3164(pc.filter(arr, pa.array(m3)), cfg)))
+    if m5.any():
+        parts.append((m5, parse_rfc5424(pc.filter(arr, pa.array(m5)), cfg)))
+    out = _assemble(len(rfc), parts, ~(m3 | m5))
+    out.insert(0, "rfc", pd.array(rfc, dtype="Int64"))
+    out["ts_is_nil"] = out["ts_is_nil"].astype("boolean")
+    for c in _INT_COLS:
+        out[c] = out[c].astype("Int64")
+    return out
 
 
 def make_parse_udf(cfg: ParseConfig | None = None):
@@ -108,14 +161,7 @@ def make_parse_from_tokens_udf(cfg: ParseConfig | None = None):
 
     @F.pandas_udf(PARSED_SCHEMA_TOKENS)
     def parse_tokens(tokens: pd.Series) -> pd.DataFrame:
-        from .encoding import detokenize_pandas
-        from .grammar import detect_rfc
-
-        raw = detokenize_pandas(tokens)
-        rfc = detect_rfc(raw)
-        out = parse_syslog_frame(raw, rfc, cfg)
-        out.insert(0, "rfc", rfc.astype("Int64"))
-        return out
+        return parse_tokens_arrow_frame(tokens, cfg)
 
     return parse_tokens
 
