@@ -539,17 +539,23 @@ def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH candidate pairs: 4 md5-seeded min-hashes over word
     3-grams, banded 2x2; pairs sharing a band bucket.  md5 gives identical
     portable hash values in both engines; min over hex strings is a valid
-    min-hash (any total order works)."""
+    min-hash (any total order works).
+
+    Formulated as explode(shingles) -> per-shingle hashes -> groupBy(doc)
+    min-agg: shingles are computed ONCE (inlined array lambdas would
+    recompute the shingle array per hash seed), and the explode/agg shape
+    is the one that scales — the shuffle key is doc_id and partial min-agg
+    combines map-side."""
     w = "split(text, ' ')"
     sh = _SHINGLES_SPARK.format(w=w)
-    sig = ", ".join(
-        f"array_min(transform({sh}, s -> md5(concat('{k}|', s)))) AS h{k}"
-        for k in range(4))
     d = _t(spark, sf, "documents")
-    d.createOrReplaceTempView("documents_mh")
-    sigs = spark.sql(
-        f"SELECT cast(doc_id as bigint) doc_id, {sig} "
-        f"FROM documents_mh WHERE size({w}) >= 3")
+    exploded = (d.where(F.expr(f"size({w}) >= 3"))
+                 .select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.explode(F.expr(sh)).alias("s")))
+    sigs = (exploded
+            .groupBy("doc_id")
+            .agg(*[F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s"))))
+                   .alias(f"h{k}") for k in range(4)]))
     bands = sigs.select(
         "doc_id",
         F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1").alias("band"),
@@ -740,6 +746,108 @@ FROM documents
 """
 
 
+def cube_lineitem_counts(spark, sf):
+    """CUBE over (returnflag, linestatus): all grouping-set combinations."""
+    li = _t(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("l_quantity").cast("bigint"))
+                    .alias("sum_qty")))
+
+
+SQL_CUBE_LINEITEM_COUNTS = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def dedup_simhash(spark, sf):
+    """SimHash near-dup buckets: a 16-bit simhash built from the top bit of
+    each md5 hex nibble, majority-voted across word-3-gram shingles.  Hex
+    chars '8'..'f' sort above '7', so the nibble top bit is a plain string
+    comparison — portable across engines."""
+    w = "split(text, ' ')"
+    sh = _SHINGLES_SPARK.format(w=w)
+    d = _t(spark, sf, "documents")
+    exploded = (d.where(F.expr(f"size({w}) >= 3"))
+                 .select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.explode(F.expr(sh)).alias("s"))
+                 .select("doc_id", F.md5("s").alias("h")))
+    votes = [F.sum(F.when(F.substring("h", p + 1, 1) >= "8", 1)
+                    .otherwise(-1)).alias(f"v{p}") for p in range(16)]
+    sig = exploded.groupBy("doc_id").agg(*votes)
+    bits = F.concat(*[F.when(F.col(f"v{p}") > 0, "1").otherwise("0")
+                      for p in range(16)])
+    return (sig.select("doc_id", bits.alias("simhash"))
+               .groupBy("simhash")
+               .agg(F.count("*").alias("n_docs"),
+                    F.min("doc_id").alias("keep_doc_id"))
+               .where(F.col("n_docs") > 1))
+
+
+def _sql_simhash() -> str:
+    w = "string_split(text, ' ')"
+    sh = _SHINGLES_DUCK.format(w=w)
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h, {p + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+        f" AS v{p}" for p in range(16))
+    bits = " || ".join(
+        f"CASE WHEN v{p} > 0 THEN '1' ELSE '0' END" for p in range(16))
+    return f"""
+WITH ex AS (
+  SELECT doc_id::BIGINT AS doc_id, md5(unnest({sh})) AS h
+  FROM documents WHERE len({w}) >= 3
+), sig AS (
+  SELECT doc_id, {votes} FROM ex GROUP BY doc_id
+)
+SELECT {bits} AS simhash, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM sig GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+def multimodal_feature_stub(spark, sf):
+    """Multimodal plumbing: documents as opaque binary payloads with typed
+    metadata, features extracted by a mapInPandas batch op (the shape a
+    real image/audio decoder would take — the decode itself is a
+    deterministic byte-level stand-in because media libs aren't in this
+    container; the Spark-side schema/batching/partitioning is real)."""
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"))
+
+    def extract(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pl = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pl.map(len).astype("int64"),
+                "byte_sum": [int(np.frombuffer(b, dtype=np.uint8)
+                             .sum(dtype=np.int64)) for b in pl],
+            })
+
+    return d.mapInPandas(extract,
+                         "doc_id long, n_bytes long, byte_sum long")
+
+
+SQL_MULTIMODAL_FEATURE_STUB = """
+SELECT doc_id::BIGINT AS doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       list_sum(list_transform(string_split(text, ''),
+                c -> unicode(c)))::BIGINT AS byte_sum
+FROM documents
+"""
+
+
 # registry: name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
@@ -772,4 +880,8 @@ REGISTRY: dict[str, tuple] = {
                               SQL_TEXT_LANGID_HEURISTIC),
     "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_token_count": (text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "cube_lineitem_counts": (cube_lineitem_counts, SQL_CUBE_LINEITEM_COUNTS),
+    "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),
+    "multimodal_feature_stub": (multimodal_feature_stub,
+                                SQL_MULTIMODAL_FEATURE_STUB),
 }

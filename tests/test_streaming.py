@@ -1,0 +1,80 @@
+"""Structured Streaming extension tests: watermarked windowed counts match
+the batch aggregates, and the foreachBatch fan-out resumes from its
+checkpoint without reprocessing."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from sparklog import fixtures
+from sparklog.aggregate import hourly_counts
+from sparklog.pipeline import parse_stage
+from sparklog.streaming import (
+    read_token_stream,
+    start_streaming_job,
+    streaming_hourly_counts,
+)
+
+
+def _write_tokens(spark, tmp_path, name, n, seed):
+    path = str(tmp_path / name)
+    fixtures.write_tokens_table(spark, fixtures.synth_lines(n, seed=seed),
+                                path, n_partitions=2)
+    return path
+
+
+def test_streaming_counts_match_batch(spark, tmp_path):
+    src = _write_tokens(spark, tmp_path, "src", 2000, seed=9)
+    agg = streaming_hourly_counts(read_token_stream(spark, src))
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("stream_counts")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = (spark.sql("SELECT facility, severity, sum(n_events) AS n "
+                     "FROM stream_counts GROUP BY 1, 2")
+           .toPandas().sort_values(["facility", "severity"])
+           .reset_index(drop=True))
+    batch = (hourly_counts(
+                parse_stage(spark.read.parquet(src))
+                .withColumn("sink_class", F.lit("x")))
+             .groupBy("facility", "severity")
+             .agg(F.sum("n_events").alias("n"))
+             .toPandas().sort_values(["facility", "severity"])
+             .reset_index(drop=True))
+    assert len(got) == len(batch)
+    assert (got["n"].to_numpy() == batch["n"].to_numpy()).all()
+
+
+def test_streaming_checkpoint_resume(spark, tmp_path):
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # epoch 1
+    fixtures.write_tokens_table(spark, fixtures.synth_lines(500, seed=1),
+                                src_dir + "/batch1", n_partitions=1)
+    for f in glob.glob(src_dir + "/batch1/*.parquet"):
+        os.rename(f, src_dir + "/" + os.path.basename(f))
+    q = start_streaming_job(spark, src_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir + "/sinks").count()
+    assert n1 == 500
+
+    # restart with the same checkpoint: nothing new -> no growth
+    q = start_streaming_job(spark, src_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir + "/sinks").count() == 500
+
+    # new file arrives -> only the delta is processed
+    pdf = fixtures.synth_lines(300, seed=2)
+    pdf["doc_id"] = "b2-" + pdf["doc_id"]
+    fixtures.write_tokens_table(spark, pdf, src_dir + "/batch2",
+                                n_partitions=1)
+    for f in glob.glob(src_dir + "/batch2/*.parquet"):
+        os.rename(f, src_dir + "/2_" + os.path.basename(f))
+    q = start_streaming_job(spark, src_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir + "/sinks").count() == 800
