@@ -31,7 +31,7 @@ from .enrich import enrich
 from .grammar import ParseConfig
 from .lineage import Manifest, partition_lineage
 from .route import audit_token_equality, with_route_columns, write_sinks
-from .udfs import make_parse_from_tokens_udf
+from .udfs import MAP_IN_ARROW_SCHEMA, make_map_in_arrow_parser
 
 PARSED_COLS = [
     "priority", "facility", "severity", "version", "ts",
@@ -45,17 +45,15 @@ def parse_stage(src: DataFrame, cfg: ParseConfig | None = None) -> DataFrame:
     """tokens table -> flat parsed DataFrame (keeps doc_id/source/tokens for
     routing + the token-equality audit).
 
-    Decode + detect + parse happen inside ONE Arrow UDF pass: token arrays
-    ship to Python via Arrow untouched (JVM-side per-char array ops are a
-    GC hazard at scale — measured 4-8s/400k rows with 6x variance)."""
-    parse_udf = make_parse_from_tokens_udf(cfg)
-    return (
-        src
-        .withColumn("parsed", parse_udf(F.col("tokens")))
-        .select("doc_id", "source", "tokens",
-                F.col("parsed.rfc").alias("rfc"),
-                *[F.col(f"parsed.{c}").alias(c) for c in PARSED_COLS])
-    )
+    Decode + detect + parse happen inside ONE Arrow pass per batch
+    (mapInArrow): token list buffers feed the decoder directly with no
+    per-row numpy materialization, and passthrough columns reuse the input
+    Arrow buffers.  (JVM-side per-char array ops are a GC hazard at scale —
+    measured 4-8s/400k rows with 6x variance — and the pandas list-column
+    conversion costs ~65k ndarray allocations per batch.)"""
+    fn = make_map_in_arrow_parser(cfg)
+    return (src.select("doc_id", "source", "tokens")
+               .mapInArrow(fn, MAP_IN_ARROW_SCHEMA))
 
 
 def run_pipeline(spark: SparkSession, src_path: str, out_dir: str,

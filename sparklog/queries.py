@@ -27,7 +27,6 @@ from pyspark.sql.window import Window
 
 from .encoding import detokenize_col, tokenize_col
 from .enrich import FACILITY_NAMES, SEVERITY_CLASS, SEVERITY_NAMES
-from .udfs import detect_rfc_col, make_parse_udf
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -70,23 +69,25 @@ def _line_5424_col():
         F.lit('"] event body '), F.col("event_id").cast("string"))
 
 
-_PFIELDS = ["priority", "facility", "severity", "version", "ts",
-            "tz_offset_minutes", "ts_is_nil", "hostname", "tag", "content",
-            "app_name", "proc_id", "msg_id", "structured_data", "message",
-            "parse_error"]
-
-
 def _parse_lines(spark: SparkSession, src: DataFrame) -> DataFrame:
-    """raw line -> detect -> Arrow parse UDF, flattened in ONE projection
-    right after the UDF (so downstream filters/aggregates never duplicate
-    the ArrowEvalPython node).  The token codec itself is exercised by
-    ``syslog_token_roundtrip`` and by the pipeline's parse_stage."""
-    parse_udf = make_parse_udf()
-    p = (src.withColumn("rfc", detect_rfc_col("raw"))
-            .withColumn("p", parse_udf(F.col("raw"), F.col("rfc"))))
-    return p.select(
-        *src.columns, "rfc",
-        *[F.col(f"p.{c}").alias(f"p_{c}") for c in _PFIELDS])
+    """raw line -> detect -> parse via mapInArrow.  The map node is a
+    barrier, so downstream filter pushdown can never duplicate the parse
+    (struct-field references to a pandas UDF get re-inlined by Catalyst).
+    The token codec itself is exercised by ``syslog_token_roundtrip`` and
+    by the pipeline's parse_stage."""
+    from pyspark.sql import types as T
+
+    from .udfs import PARSED_SCHEMA, make_map_in_arrow_parser
+
+    fn = make_map_in_arrow_parser(
+        passthrough=tuple(src.columns), input_col="raw", input_kind="raw",
+        out_prefix="p_")
+    schema = T.StructType(
+        list(src.schema.fields)
+        + [T.StructField("rfc", T.IntegerType())]
+        + [T.StructField(f"p_{f.name}", f.dataType)
+           for f in PARSED_SCHEMA.fields])
+    return src.mapInArrow(fn, schema)
 
 
 def syslog_parse_rfc3164(spark, sf):

@@ -27,5 +27,15 @@ def get_spark(master: str | None = None, app: str = "sparklog",
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARKLOG_DRIVER_MEM", "16g"))
+        # local-mode shuffle through one shared disk caps multi-core
+        # scaling; tmpfs restores the per-node shuffle locality a real
+        # cluster has (each executor spills to its own local disks)
+        .config("spark.local.dir",
+                os.environ.get("SPARKLOG_LOCAL_DIR", "/dev/shm/spark-local"))
+        .config("spark.io.compression.codec", "zstd")
+        # parse parallelism == scan parallelism (the parse UDF runs before
+        # any exchange); small local corpora must still split across cores
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .getOrCreate()
     )

@@ -149,6 +149,107 @@ PARSED_SCHEMA_TOKENS = T.StructType(
     [T.StructField("rfc", T.IntegerType())] + PARSED_SCHEMA.fields)
 
 
+def _string_from_token_list(col):
+    """pa list<int32> -> pa.StringArray without materializing per-row numpy
+    arrays (the mapInArrow input-side win: ListArray values/offsets are
+    used directly)."""
+    import pyarrow as pa
+
+    from .encoding import detokenize_arrow
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    lo, hi = off[0], off[-1]
+    flat = vals[lo:hi]
+    rel = (off - lo)
+    if len(flat) == 0 or (flat < 0x80).all():
+        data = flat.astype(np.uint8).tobytes()
+        return pa.StringArray.from_buffers(
+            len(off) - 1, pa.py_buffer(rel.astype(np.int32).tobytes()),
+            pa.py_buffer(data))
+    # non-ASCII fallback: slice per row via the generic pandas-side codec
+    toks = pd.Series([flat[a:b] for a, b in zip(rel[:-1], rel[1:])])
+    return detokenize_arrow(toks)
+
+
+def make_map_in_arrow_parser(cfg: ParseConfig | None = None,
+                             passthrough=("doc_id", "source", "tokens"),
+                             input_col: str = "tokens",
+                             input_kind: str = "tokens",
+                             out_prefix: str = ""):
+    """Batch function for DataFrame.mapInArrow: passthrough columns ride
+    along untouched (same Arrow buffers); decode+detect+parse append the
+    rfc + parsed columns.  Compared to the pandas UDF this skips the
+    arrow->pandas conversion of the token list column (65k ndarray
+    allocations per batch) on input, and — being a map barrier — can never
+    be duplicated by filter pushdown the way struct-field references to a
+    pandas UDF can."""
+    import pyarrow as pa
+
+    cfg = cfg or ParseConfig()
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        from .grammar import (
+            _OUTPUT_COLUMNS,
+            detect_rfc_arrow,
+            parse_rfc3164,
+            parse_rfc5424,
+        )
+
+        for b in batches:
+            col = b.column(b.schema.get_field_index(input_col))
+            if input_kind == "tokens":
+                arr = _string_from_token_list(col)
+            else:
+                arr = (col.combine_chunks()
+                       if isinstance(col, pa.ChunkedArray) else col)
+                arr = pc.if_else(pc.is_valid(arr), arr, "")
+            rfc = detect_rfc_arrow(arr)
+            m3 = rfc == RFC_3164
+            m5 = rfc == RFC_5424
+            parts = []
+            if m3.any():
+                parts.append((m3, parse_rfc3164(
+                    pc.filter(arr, pa.array(m3)), cfg)))
+            if m5.any():
+                parts.append((m5, parse_rfc5424(
+                    pc.filter(arr, pa.array(m5)), cfg)))
+            out = _assemble(len(rfc), parts, ~(m3 | m5))
+            arrays = [b.column(b.schema.get_field_index(c))
+                      for c in passthrough]
+            names = (list(passthrough) + ["rfc"]
+                     + [f"{out_prefix}{c}" for c in _OUTPUT_COLUMNS])
+            arrays.append(pa.array(rfc, pa.int32()))
+            for c in _OUTPUT_COLUMNS:
+                v = out[c]
+                if c in _INT_COLS:
+                    arrays.append(pa.Array.from_pandas(v, type=pa.int32()))
+                elif c == "ts":
+                    arrays.append(pa.array(v.to_numpy())
+                                  .cast(pa.timestamp("us")))
+                elif c == "ts_is_nil":
+                    arrays.append(pa.Array.from_pandas(v, type=pa.bool_()))
+                else:
+                    # from_pandas maps stray NaN (slow-path masked fields)
+                    # to null, unlike pa.array over tolist()
+                    arrays.append(pa.Array.from_pandas(v,
+                                                       type=pa.string()))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return fn
+
+
+MAP_IN_ARROW_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.StringType()),
+     T.StructField("source", T.StringType()),
+     T.StructField("tokens", T.ArrayType(T.IntegerType()))]
+    + PARSED_SCHEMA_TOKENS.fields)
+
+
 def make_parse_from_tokens_udf(cfg: ParseConfig | None = None):
     """pandas UDF (tokens array<int>) -> (rfc + parsed) struct.
 

@@ -1,0 +1,72 @@
+"""Physical-plan hygiene: the properties that make this pipeline survive a
+100x scale-up, asserted on the actual executed plans.
+
+- the parse UDF appears EXACTLY once per query plan (no accidental
+  re-evaluation when struct fields feed filters/aggregates)
+- dim joins are broadcast (fact side never shuffles for enrichment)
+- parquet scans prune columns (count-only paths must not read tokens)
+"""
+
+from pyspark.sql import functions as F
+
+from sparklog import fixtures
+from sparklog.enrich import enrich
+from sparklog.pipeline import parse_stage
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_single_udf_evaluation(spark, tmp_path):
+    src_path = str(tmp_path / "tokens")
+    fixtures.write_tokens_table(spark, fixtures.synth_lines(200, seed=1),
+                                src_path, n_partitions=1)
+    src = spark.read.parquet(src_path)
+    parsed = parse_stage(src)
+
+    # filter + aggregate over parse-derived columns: still ONE parse node
+    agg = (parsed.where(F.col("parse_error").isNull())
+                 .groupBy("facility", "severity").count())
+    assert _plan(agg).count("MapInArrow") == 1
+
+    enriched = enrich(parsed, spark)
+    assert _plan(enriched).count("MapInArrow") == 1
+
+
+def test_enrich_joins_are_broadcast(spark, tmp_path):
+    src_path = str(tmp_path / "tokens")
+    fixtures.write_tokens_table(spark, fixtures.synth_lines(200, seed=2),
+                                src_path, n_partitions=1)
+    enriched = enrich(parse_stage(spark.read.parquet(src_path)), spark)
+    plan = _plan(enriched)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    src_path = str(tmp_path / "tokens")
+    fixtures.write_tokens_table(spark, fixtures.synth_lines(200, seed=3),
+                                src_path, n_partitions=1)
+    src = spark.read.parquet(src_path)
+    # a doc_id-only projection must not read the (heavy) tokens column
+    slim = src.select("doc_id", "source")
+    plan = _plan(slim)
+    scan_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_line and "tokens" not in scan_line[0]
+
+
+def test_query_plans_single_udf(spark):
+    """Every syslog_* registry query parses in exactly one map barrier —
+    filter pushdown must never re-inline/duplicate the parse."""
+    from sparklog.queries import REGISTRY
+
+    for name, (fn, _sql) in REGISTRY.items():
+        if not name.startswith("syslog_") or name == "syslog_token_roundtrip":
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert _plan(df).count("MapInArrow") == 1, name
