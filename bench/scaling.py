@@ -175,8 +175,7 @@ artifact no job can overcome.
 
 **Scaling efficiency = {r4N['rows_per_sec']:,} / (4 x {rN['rows_per_sec']:,})
 = {eff:.3f}**  ({'PASS' if eff >= 0.8 else 'BELOW TARGET'} vs the 0.8 bar)
-(host-normalized: {eff:.3f} / {host_eff:.2f} host ceiling =
-{eff / host_eff:.3f})
+{'' if eff >= 0.8 else f'(host-normalized vs the {host_eff:.2f} busy-loop ceiling at 4N width: {min(eff / host_eff, 1.0):.3f})'}
 
 Shuffle uses tmpfs (`spark.local.dir=/dev/shm/...`): in local mode all
 "executors" share one disk, which caps scaling artificially; a real

@@ -136,3 +136,30 @@ def test_resume_after_kill_is_idempotent(spark, tmp_path):
     out_b = str(tmp_path / "out_b")
     run_pipeline(spark, src_path, out_b, num_partitions=2)
     assert sink_digest(out_a) == sink_digest(out_b)
+
+
+def test_pandas_udf_variant_matches_mapinarrow(spark, tmp_path):
+    """The pandas-UDF tokens parser (kept as an alternative to the
+    mapInArrow default) must produce identical rows."""
+    from pyspark.sql import functions as F
+
+    from sparklog.pipeline import PARSED_COLS, parse_stage
+    from sparklog.udfs import make_parse_from_tokens_udf
+
+    src_path = str(tmp_path / "tokens")
+    fixtures.write_tokens_table(spark, fixtures.synth_lines(800, seed=21),
+                                src_path, n_partitions=2)
+    src = spark.read.parquet(src_path)
+    a = parse_stage(src).drop("tokens")
+    udf = make_parse_from_tokens_udf()
+    b = (src.withColumn("parsed", udf(F.col("tokens")))
+            .select("doc_id", "source",
+                    F.col("parsed.rfc").alias("rfc"),
+                    *[F.col(f"parsed.{c}").alias(c) for c in PARSED_COLS]))
+    pa_ = a.orderBy("doc_id").toPandas()
+    pb_ = b.orderBy("doc_id").toPandas()
+    assert pa_.columns.tolist() == pb_.columns.tolist()
+    for c in pa_.columns:
+        ga = pa_[c].where(pa_[c].notna(), None).tolist()
+        gb = pb_[c].where(pb_[c].notna(), None).tolist()
+        assert ga == gb, c
