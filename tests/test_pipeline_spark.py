@@ -160,6 +160,8 @@ def test_pandas_udf_variant_matches_mapinarrow(spark, tmp_path):
     pb_ = b.orderBy("doc_id").toPandas()
     assert pa_.columns.tolist() == pb_.columns.tolist()
     for c in pa_.columns:
-        ga = pa_[c].where(pa_[c].notna(), None).tolist()
-        gb = pb_[c].where(pb_[c].notna(), None).tolist()
+        # object-cast first: float columns keep NaN through .where(None)
+        # and NaN != NaN would fail equal frames
+        ga = pa_[c].astype(object).where(pa_[c].notna(), None).tolist()
+        gb = pb_[c].astype(object).where(pb_[c].notna(), None).tolist()
         assert ga == gb, c
