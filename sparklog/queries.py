@@ -849,6 +849,157 @@ FROM documents
 """
 
 
+def asof_join_event_rates(spark, sf):
+    """As-of join (Spark has no native one): each event picks the latest
+    rate row with rts <= ts.  The rate side is small by construction, so
+    the scale strategy is broadcast range-join + max_by argmax — no shuffle
+    of the event side.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf, "events")
+    rates = (ev.where(F.col("event_id") % 500 == 0)
+               .select(F.col("ts").alias("rts"),
+                       F.col("event_id").alias("rate")))
+    j = ev.join(F.broadcast(rates), F.col("rts") <= F.col("ts"), "left")
+    return (j.groupBy(F.col("event_id").cast("long").alias("event_id"))
+             .agg(F.max_by("rate", "rts").cast("long").alias("rate")))
+
+
+SQL_ASOF_JOIN_EVENT_RATES = """
+WITH rates AS (
+  SELECT ts AS rts, event_id AS rate FROM events WHERE event_id % 500 = 0
+)
+SELECT e.event_id::BIGINT AS event_id, r.rate::BIGINT AS rate
+FROM events e ASOF LEFT JOIN rates r ON r.rts <= e.ts
+"""
+
+
+def sessionize_user_events(spark, sf):
+    """Sessionization: per-user sessions split on >30-minute gaps (window
+    lag + conditional sum — the standard scalable shape, shuffle keyed by
+    user)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    return (ev.withColumn("new_sess",
+                          F.when(gap > 1800, 1).otherwise(0))
+              .groupBy(F.col("user_id").cast("long").alias("user_id"))
+              .agg((F.sum("new_sess") + 1).cast("long").alias("n_sessions"),
+                   F.count("*").alias("n_events")))
+
+
+SQL_SESSIONIZE_USER_EVENTS = """
+SELECT user_id::BIGINT AS user_id,
+       (sum(new_sess) + 1)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY 1
+"""
+
+
+def pivot_event_type_counts(spark, sf):
+    """Pivot: event counts per user bucket x event type."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (ev.groupBy((F.col("user_id") % 10).cast("long").alias("bucket"))
+              .pivot("event_type", types)
+              .agg(F.count(F.lit(1)))
+              .na.fill(0, types))
+
+
+SQL_PIVOT_EVENT_TYPE_COUNTS = """
+SELECT (user_id % 10)::BIGINT AS bucket,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+           AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+           AS signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+           AS error
+FROM events GROUP BY 1
+"""
+
+
+def rollup_orders_status_priority(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.floor(F.col("o_totalprice") * 100))
+                   .alias("total_cents")))
+
+
+SQL_ROLLUP_ORDERS_STATUS_PRIORITY = """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+       sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def string_funcs_showcase(spark, sf):
+    """The string-function surface the reference's grammar is built from
+    (substring/instr/trim/length/regexp/pad/case), exercised JVM-side."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.instr("text", "data").cast("long").alias("pos_data"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("trim_len"),
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.lpad(F.col("lang"), 5, "_").alias("lang_padded"),
+        F.reverse(F.substring("text", 1, 6)).alias("head_rev"))
+
+
+SQL_STRING_FUNCS_SHOWCASE = """
+SELECT doc_id::BIGINT AS doc_id,
+       upper(substr(text, 1, 10)) AS head_upper,
+       instr(text, 'data')::BIGINT AS pos_data,
+       length(trim(text))::BIGINT AS trim_len,
+       coalesce(regexp_extract(text, '([a-z]+)', 1), '') AS first_word,
+       lpad(lang, 5, '_') AS lang_padded,
+       reverse(substr(text, 1, 6)) AS head_rev
+FROM documents
+"""
+
+
+def datetime_funcs_showcase(spark, sf):
+    """Date/time surface: component extraction, truncation, arithmetic,
+    epoch conversion (cross-engine dow convention normalized)."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow_sun0"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+         .alias("day_str"),
+        F.unix_timestamp("ts").cast("long").alias("epoch_s"),
+        F.datediff(F.lit("2024-03-01"), F.to_date("ts")).cast("long")
+         .alias("days_to_march"))
+
+
+SQL_DATETIME_FUNCS_SHOWCASE = """
+SELECT event_id::BIGINT AS event_id,
+       year(ts)::BIGINT AS y, month(ts)::BIGINT AS mo,
+       day(ts)::BIGINT AS d, hour(ts)::BIGINT AS h,
+       dayofweek(ts)::BIGINT AS dow_sun0,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_str,
+       floor(epoch(ts))::BIGINT AS epoch_s,
+       datediff('day', ts::DATE, DATE '2024-03-01')::BIGINT
+           AS days_to_march
+FROM events
+"""
+
+
 # registry: name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
@@ -885,4 +1036,16 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),
     "multimodal_feature_stub": (multimodal_feature_stub,
                                 SQL_MULTIMODAL_FEATURE_STUB),
+    "asof_join_event_rates": (asof_join_event_rates,
+                              SQL_ASOF_JOIN_EVENT_RATES),
+    "sessionize_user_events": (sessionize_user_events,
+                               SQL_SESSIONIZE_USER_EVENTS),
+    "pivot_event_type_counts": (pivot_event_type_counts,
+                                SQL_PIVOT_EVENT_TYPE_COUNTS),
+    "rollup_orders_status_priority": (rollup_orders_status_priority,
+                                      SQL_ROLLUP_ORDERS_STATUS_PRIORITY),
+    "string_funcs_showcase": (string_funcs_showcase,
+                              SQL_STRING_FUNCS_SHOWCASE),
+    "datetime_funcs_showcase": (datetime_funcs_showcase,
+                                SQL_DATETIME_FUNCS_SHOWCASE),
 }
