@@ -56,17 +56,32 @@ def parse_stage(src: DataFrame, cfg: ParseConfig | None = None) -> DataFrame:
                .mapInArrow(fn, MAP_IN_ARROW_SCHEMA))
 
 
+def _read_source(spark: SparkSession, src_path: str,
+                 table_format: str = "parquet") -> DataFrame:
+    """Source reader through the catalog abstraction (SURVEY.md §7.5):
+    'iceberg' is used verbatim when the runtime jar is present (real
+    clusters); this offline sandbox falls back to parquet + the manifest
+    emulation in lineage.py."""
+    if table_format == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(src_path)
+        except Exception:  # noqa: BLE001 — jar absent offline
+            pass
+    return spark.read.parquet(src_path)
+
+
 def run_pipeline(spark: SparkSession, src_path: str, out_dir: str,
                  cfg: ParseConfig | None = None, num_partitions: int = 32,
                  salt_buckets: int = 16, fail_after: str | None = None,
-                 do_audit: bool = True) -> dict:
+                 do_audit: bool = True,
+                 table_format: str = "parquet") -> dict:
     """Run (or resume) the full job.  ``fail_after`` kills the run after the
     named stage commits — used by the resume test."""
     manifest = Manifest(out_dir)
     stats: dict = {"resumed_stages": []}
     t0 = time.time()
 
-    src = spark.read.parquet(src_path)
+    src = _read_source(spark, src_path, table_format)
     parsed = enrich(parse_stage(src, cfg), spark)
     routed = with_route_columns(parsed)
 
@@ -135,7 +150,25 @@ def main(argv=None):
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing manifest (full rerun)")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg"])
+    # With* injection hooks of the reference, as job-level config
+    # (rfc3164/rfc3164.go:58-86)
+    ap.add_argument("--default-year", type=int, default=2025)
+    ap.add_argument("--location", default="UTC")
+    ap.add_argument("--inject-priority", type=int, default=None)
+    ap.add_argument("--inject-hostname", default=None)
+    ap.add_argument("--inject-tag", default=None)
+    ap.add_argument("--ts-format", default=None,
+                    help="custom strptime timestamp layout")
+    ap.add_argument("--ts-format-len", type=int, default=None)
     args = ap.parse_args(argv)
+
+    cfg = ParseConfig(
+        priority=args.inject_priority, hostname=args.inject_hostname,
+        tag=args.inject_tag, location=args.location,
+        ts_format=args.ts_format, ts_format_len=args.ts_format_len,
+        default_year=args.default_year)
 
     from .session import get_spark
     spark = get_spark(args.master)
@@ -152,8 +185,9 @@ def main(argv=None):
         shutil.rmtree(os.path.join(args.out, "_manifests"),
                       ignore_errors=True)
 
-    stats = run_pipeline(spark, src, args.out,
-                         num_partitions=args.partitions)
+    stats = run_pipeline(spark, src, args.out, cfg=cfg,
+                         num_partitions=args.partitions,
+                         table_format=args.format)
     print(json.dumps(stats, default=str))
 
 
