@@ -170,9 +170,9 @@ def parse_rfc3164_fast(raw, default_year: int):
     cols = {
         "priority": pri, "facility": pri // 8, "severity": pri % 8,
         "ts": ts, "tz_offset_minutes": np.zeros_like(pri),
-        "hostname": _np(g["host"]).astype(object),
-        "tag": _np(g["tag"]).astype(object),
-        "content": _np(content).astype(object),
+        "hostname": g["host"],      # strings stay as Arrow arrays
+        "tag": g["tag"],
+        "content": content,
     }
     return ok, cols
 
@@ -235,11 +235,11 @@ def parse_rfc5424_fast(raw):
     cols = {
         "priority": pri, "facility": pri // 8, "severity": pri % 8,
         "version": ver, "ts": ts, "tz_offset_minutes": tz_min,
-        "hostname": _np(g["host"]).astype(object),
-        "app_name": _np(g["app"]).astype(object),
-        "proc_id": _np(g["proc"]).astype(object),
-        "msg_id": _np(g["msgid"]).astype(object),
-        "structured_data": _np(sd).astype(object),
-        "message": _np(msg).astype(object),
+        "hostname": g["host"],      # strings stay as Arrow arrays
+        "app_name": g["app"],
+        "proc_id": g["proc"],
+        "msg_id": g["msgid"],
+        "structured_data": sd,
+        "message": msg,
     }
     return ok, cols

@@ -330,7 +330,10 @@ def _merge_fast_slow(raw: pd.Series, cfg: ParseConfig, fast_fn, slow_fn,
         else:
             obj = np.full(n, None, dtype=object)
             if c in cols:
-                obj[hit] = cols[c][hit]
+                src = cols[c]
+                if not isinstance(src, np.ndarray):  # pa.Array strings
+                    src = src.to_numpy(zero_copy_only=False)
+                obj[hit] = src[hit]
             elif c in fast_only_cols:
                 obj[hit] = fast_only_cols[c]
             if slow is not None:

@@ -174,6 +174,151 @@ def _string_from_token_list(col):
     return detokenize_arrow(toks)
 
 
+def parse_batch_arrow(arr, rfc: np.ndarray, cfg: ParseConfig):
+    """Whole-batch parse producing Arrow arrays directly (no pandas on the
+    hot path): fast-path hits keep their Arrow string buffers; only misses
+    and unknown-dialect rows go through the pandas slow path; the three row
+    groups are merged with one gather (take) per column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import fastpath
+    from .grammar import (
+        _OUTPUT_COLUMNS,
+        _fast_eligible,
+        _parse_rfc3164_slow,
+        _parse_rfc5424_slow,
+    )
+
+    n = len(rfc)
+    m3 = rfc == RFC_3164
+    m5 = rfc == RFC_5424
+    if not _fast_eligible(cfg):
+        # injected-config jobs: pandas path throughout
+        return None
+
+    hit3 = np.zeros(n, dtype=bool)
+    hit5 = np.zeros(n, dtype=bool)
+    cols3: dict = {}
+    cols5: dict = {}
+    if m3.any():
+        a3 = pc.filter(arr, pa.array(m3))
+        h3, cols3 = fastpath.parse_rfc3164_fast(a3, cfg.default_year)
+        hit3[np.flatnonzero(m3)[h3]] = True
+        sel3 = pa.array(h3)
+    if m5.any():
+        a5 = pc.filter(arr, pa.array(m5))
+        h5, cols5 = fastpath.parse_rfc5424_fast(a5)
+        hit5[np.flatnonzero(m5)[h5]] = True
+        sel5 = pa.array(h5)
+
+    miss = ~(hit3 | hit5)
+    slow_parts = []
+    if miss.any():
+        miss_idx = np.flatnonzero(miss)
+        sub = pd.Series(
+            pc.filter(arr, pa.array(miss)).to_numpy(zero_copy_only=False),
+            index=miss_idx, dtype=object)
+        srfc = rfc[miss_idx]
+        sm3 = srfc == RFC_3164
+        sm5 = srfc == RFC_5424
+        frames = []
+        order = []
+        if sm3.any():
+            frames.append(_parse_rfc3164_slow(sub[sm3], cfg))
+            order.append(miss_idx[sm3])
+        if sm5.any():
+            frames.append(_parse_rfc5424_slow(sub[sm5], cfg))
+            order.append(miss_idx[sm5])
+        unk = ~(sm3 | sm5)
+        if unk.any():
+            k = int(unk.sum())
+            f = pd.DataFrame({c: [None] * k for c in _OUTPUT_COLUMNS})
+            f["ts"] = pd.Series([pd.NaT] * k, dtype="M8[ns]")
+            for c in _INT_COLS:
+                f[c] = f[c].astype("Int64")
+            f["parse_error"] = "DetectFailed"
+            frames.append(f)
+            order.append(miss_idx[unk])
+        for f in frames:  # align dtypes so concat never silently casts
+            f["ts_is_nil"] = f["ts_is_nil"].astype(object)
+        slow = pd.concat(frames, ignore_index=True)
+        slow_pos = np.concatenate(order)
+        slow_parts = [(slow, slow_pos)]
+
+    # gather permutation: concat order is [3164 hits, 5424 hits, slow rows]
+    pos = [np.flatnonzero(hit3), np.flatnonzero(hit5)]
+    if slow_parts:
+        pos.append(slow_parts[0][1])
+    perm_src = np.concatenate(pos) if pos else np.array([], dtype=np.int64)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm_src] = np.arange(n)
+    inv_pa = pa.array(inv)
+
+    n3, n5 = int(hit3.sum()), int(hit5.sum())
+
+    def seg(colname, typ):
+        """Build the concatenated [hits3, hits5, slow] segment for one
+        output column, then gather into row order."""
+        chunks = []
+        for present, cols_d, sel, nn in ((m3.any(), cols3,
+                                          sel3 if m3.any() else None, n3),
+                                         (m5.any(), cols5,
+                                          sel5 if m5.any() else None, n5)):
+            if not present:
+                continue
+            if colname in cols_d:
+                chunks.append(_to_pa(cols_d[colname], typ, sel))
+            elif colname == "ts_is_nil":
+                # fast-path hits always carry a concrete False
+                chunks.append(pa.array(np.zeros(nn, dtype=bool)))
+            else:
+                chunks.append(pa.nulls(nn, typ))
+        if slow_parts:
+            slow = slow_parts[0][0]
+            chunks.append(_slow_col_to_pa(slow[colname], typ))
+        merged = pa.concat_arrays([c.combine_chunks()
+                                   if isinstance(c, pa.ChunkedArray) else c
+                                   for c in chunks])
+        return merged.take(inv_pa)
+
+    out: dict = {}
+    for c in _OUTPUT_COLUMNS:
+        if c in _INT_COLS:
+            typ = pa.int32()
+        elif c == "ts":
+            typ = pa.timestamp("us")
+        elif c == "ts_is_nil":
+            typ = pa.bool_()
+        else:
+            typ = pa.string()
+        out[c] = seg(c, typ)
+    return out
+
+
+def _to_pa(v, typ, sel):
+    """Fast-path column (numpy or pa.Array over the dialect subset) ->
+    pa.Array of `typ` filtered to hit rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return pc.filter(v, sel).cast(typ)
+    if v.dtype.kind == "M":
+        return pc.filter(pa.array(v), sel).cast(typ)
+    if typ == pa.bool_():
+        return pc.filter(pa.array(v.astype(bool)), sel)
+    return pc.filter(pa.array(v), sel).cast(typ)
+
+
+def _slow_col_to_pa(series: pd.Series, typ):
+    import pyarrow as pa
+
+    if typ == pa.timestamp("us"):
+        return pa.array(series.to_numpy(dtype="M8[ns]")).cast(typ)
+    return pa.Array.from_pandas(series, type=typ)
+
+
 def make_map_in_arrow_parser(cfg: ParseConfig | None = None,
                              passthrough=("doc_id", "source", "tokens"),
                              input_col: str = "tokens",
@@ -209,6 +354,19 @@ def make_map_in_arrow_parser(cfg: ParseConfig | None = None,
                        if isinstance(col, pa.ChunkedArray) else col)
                 arr = pc.if_else(pc.is_valid(arr), arr, "")
             rfc = detect_rfc_arrow(arr)
+            arrays = [b.column(b.schema.get_field_index(c))
+                      for c in passthrough]
+            names = (list(passthrough) + ["rfc"]
+                     + [f"{out_prefix}{c}" for c in _OUTPUT_COLUMNS])
+            arrays.append(pa.array(rfc, pa.int32()))
+
+            out_arrow = parse_batch_arrow(arr, rfc, cfg)
+            if out_arrow is not None:      # arrow-native hot path
+                arrays.extend(out_arrow[c] for c in _OUTPUT_COLUMNS)
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+                continue
+
+            # injected-config jobs: pandas path
             m3 = rfc == RFC_3164
             m5 = rfc == RFC_5424
             parts = []
@@ -219,11 +377,6 @@ def make_map_in_arrow_parser(cfg: ParseConfig | None = None,
                 parts.append((m5, parse_rfc5424(
                     pc.filter(arr, pa.array(m5)), cfg)))
             out = _assemble(len(rfc), parts, ~(m3 | m5))
-            arrays = [b.column(b.schema.get_field_index(c))
-                      for c in passthrough]
-            names = (list(passthrough) + ["rfc"]
-                     + [f"{out_prefix}{c}" for c in _OUTPUT_COLUMNS])
-            arrays.append(pa.array(rfc, pa.int32()))
             for c in _OUTPUT_COLUMNS:
                 v = out[c]
                 if c in _INT_COLS:
