@@ -1,0 +1,68 @@
+"""Micro-benchmarks mirroring the reference's published table
+(README.md:113-142 of jeromer/syslogparser): per-message cost of detect and
+the full parses, on the reference's own benchmark inputs, single core.
+
+The reference's numbers are ns/op for a hand-rolled Go byte scanner; ours
+include the full vectorized batch machinery, so the fair comparison is
+amortized per-row cost at realistic batch sizes.
+
+Usage: python bench/micro.py [batch_size]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+
+# the exact benchmark inputs the reference uses
+MSG_DETECT = "<165>1 2003-10-11T22:14:15.003Z ..."          # 14.7 ns/op
+MSG_3164 = ("<34>Oct 11 22:14:15 mymachine su: 'su root' failed for "
+            "lonvick on /dev/pts/8")                         # 838 ns/op
+MSG_5424 = ('<165>1 2003-10-11T22:14:15.003Z mymachine.example.com '
+            'evntslog - ID47 [exampleSDID@32473 iut="3" '
+            'eventSource="Application" eventID="1011"] An application '
+            'event log entry...')                            # 1306 ns/op
+
+REFERENCE_NS = {"detect": 14.7, "parse_3164": 838.0, "parse_5424": 1306.0}
+
+
+def bench(fn, series, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(series)
+        best = min(best, time.perf_counter() - t0)
+    return best / len(series) * 1e9  # ns per row
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    from sparklog.grammar import detect_rfc, parse_rfc3164, parse_rfc5424
+
+    out = {}
+    cases = [
+        ("detect", detect_rfc, MSG_DETECT),
+        ("parse_3164", parse_rfc3164, MSG_3164),
+        ("parse_5424", parse_rfc5424, MSG_5424),
+    ]
+    for name, fn, msg in cases:
+        s = pd.Series([msg] * n)
+        fn(s)  # warm
+        ns = bench(fn, s)
+        out[name] = {
+            "ns_per_row": round(ns, 1),
+            "reference_ns": REFERENCE_NS[name],
+            "ratio_vs_go": round(ns / REFERENCE_NS[name], 2),
+            "rows_per_sec_per_core": round(1e9 / ns),
+        }
+    print(json.dumps({"batch_size": n, "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
