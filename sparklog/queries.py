@@ -1000,6 +1000,58 @@ FROM events
 """
 
 
+_LSH_PLANES = 8
+# integer-derived pseudo-random hyperplane weights: identical arithmetic in
+# both engines (no libm), weights in [-1, 1]
+_W_SPARK = ("transform(sequence(0, 63), i -> "
+            "(({k} * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0)")
+_W_DUCK = ("list_transform(generate_series(0, 63), i -> "
+           "(({k} * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0)")
+
+
+def ann_lsh_buckets(spark, sf):
+    """LSH-bucketed ANN (the scale path next to brute-force
+    ann_cosine_topk): 8 random-hyperplane sign bits -> bucket key; vectors
+    sharing a bucket are near-duplicate candidates.  At 10^12 scale the
+    bucket key is the shuffle key and candidate verification happens
+    per-bucket."""
+    e = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    bits = [
+        F.when(F.expr(
+            f"aggregate(zip_with(v, {_W_SPARK.format(k=k)}, "
+            f"(x, w) -> x * w), 0D, (acc, x) -> acc + x)") >= 0,
+            "1").otherwise("0")
+        for k in range(_LSH_PLANES)]
+    return (e.select("vec_id", F.concat(*bits).alias("bucket"))
+             .groupBy("bucket")
+             .agg(F.count("*").alias("n_vecs"),
+                  F.min("vec_id").alias("min_vec_id"))
+             .where(F.col("n_vecs") > 1))
+
+
+def _sql_ann_lsh() -> str:
+    bits = " || ".join(
+        f"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
+            j -> v[j] * ((({k} * 73856093 + (j - 1) * 19349663) % 2001
+            - 1000) / 1000.0))) >= 0 THEN '1' ELSE '0' END"""
+        for k in range(_LSH_PLANES))
+    return f"""
+WITH e AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+)
+SELECT {bits} AS bucket, count(*)::BIGINT AS n_vecs,
+       min(vec_id)::BIGINT AS min_vec_id
+FROM e GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+SQL_ANN_LSH_BUCKETS = _sql_ann_lsh()
+
+
 # registry: name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
@@ -1048,4 +1100,5 @@ REGISTRY: dict[str, tuple] = {
                               SQL_STRING_FUNCS_SHOWCASE),
     "datetime_funcs_showcase": (datetime_funcs_showcase,
                                 SQL_DATETIME_FUNCS_SHOWCASE),
+    "ann_lsh_buckets": (ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
 }
