@@ -243,3 +243,123 @@ def parse_rfc5424_fast(raw):
         "message": msg,
     }
     return ok, cols
+
+
+# ---------------------------------------------------------------------------
+# Conservative Arrow error pre-classification for fast-path misses.
+# Classifies ONLY cases whose error code is provable without the cursor
+# machinery; everything else returns no verdict and the pandas slow path
+# decides.  Exactness is enforced by error-heavy differential tests.
+# ---------------------------------------------------------------------------
+
+_MONTH_SET = None
+
+
+def classify_errors_fast(arr, rfc: np.ndarray):
+    """-> (codes: object ndarray with error strings or None) for rows the
+    classifier is CERTAIN about; None entries must go to the slow path.
+
+    Covered families (identical precedence to the reference):
+      * the six priority errors (parsercommon/parsercommon.go:50-94)
+      * RFC3164 TimestampUnknownFormat when the month token at the exact
+        post-priority cursor cannot match either layout, or fewer than 15
+        chars remain (rfc3164/rfc3164.go:219-247)
+      * RFC5424 VersionNotFound (end of buffer) and YearInvalid /
+        EOL-before-year when the 4 chars after "V " are non-numeric
+        (rfc5424/rfc5424.go:369-388)
+    """
+    global _MONTH_SET
+    if _MONTH_SET is None:
+        _MONTH_SET = set(_MONTH_LIST)
+
+    n_arr = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+    ex = pc.extract_regex(arr, r"^<(?P<d>[0-9]*)(?P<c>(?s:.))?")
+    has = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+    d = pc.struct_field(ex, 0)
+    c = pc.struct_field(ex, 1)
+    dl_all = pc.utf8_length(pc.if_else(pc.is_valid(d), d, "")).to_numpy(
+        zero_copy_only=False)
+    c_np = pc.if_else(pc.is_valid(c), c, "").to_numpy(zero_copy_only=False)
+
+    n = len(n_arr)
+    out = np.full(n, None, dtype=object)
+
+    m3 = rfc == 1
+    m5 = rfc == 2
+
+    # --- priority scan precedence (first 5 chars drive everything)
+    out[(m3 | m5) & (n_arr == 0)] = "PriorityEmpty"
+    first = pc.utf8_slice_codeunits(arr, 0, 1).to_numpy(zero_copy_only=False)
+    out[(m3 | m5) & (n_arr > 0) & (first != "<")] = "PriorityNoStart"
+    # within-window analysis: dl digits then next char (both from ex);
+    # the window is chars 1..4, so clamp dl and recheck the char at the cap
+    dl_w = np.minimum(dl_all, 4)
+    in_win = dl_all <= 3  # next char c is within the 5-char window
+    undecided = (m3 | m5) & has & pd_isnull(out)
+    gt = c_np == ">"
+    out[undecided & in_win & gt & (dl_all == 0)] = "PriorityTooShort"
+    nondigit = (c_np != ">") & (c_np != "") & ~np.isin(
+        c_np, list("0123456789"))
+    out[undecided & in_win & nondigit] = "PriorityNonDigit"
+    # all-digit window without terminator
+    nodigit_end = (~in_win) | (c_np == "")
+    out[undecided & nodigit_end & (dl_w >= (np.minimum(n_arr, 5) - 1))
+        & (n_arr > 5)] = "PriorityTooLong"
+    out[undecided & (c_np == "") & (n_arr <= 5) & (n_arr > 0)
+        & (first == "<")] = "PriorityNoEnd"
+
+    pri_ok = has & in_win & gt & (dl_all >= 1)
+    cur = dl_all + 2  # cursor just past '>'
+
+    # --- RFC3164: month token at the exact cursor (one optional space)
+    todo = m3 & pri_ok & pd_isnull(out)
+    if todo.any():
+        for base in (3, 4, 5):
+            sel = todo & (cur == base)
+            if not sel.any():
+                continue
+            rest = pc.utf8_slice_codeunits(arr, base, base + 20)
+            rest_np = rest.to_numpy(zero_copy_only=False)
+            for extra in (0, 1):
+                if extra == 0:
+                    sub = np.array([r[:15] for r in rest_np], dtype=object)
+                    lead_sp = np.array([r[:1] == " " for r in rest_np])
+                    pick = sel & ~lead_sp
+                else:
+                    sub = np.array([r[1:16] for r in rest_np], dtype=object)
+                    lead_sp = np.array([r[:1] == " " for r in rest_np])
+                    pick = sel & lead_sp
+                if not pick.any():
+                    continue
+                short = np.array([len(s) < 15 for s in sub])
+                badmon = np.array([s[:3] not in _MONTH_SET for s in sub])
+                out[pick & (short | badmon)] = "TimestampUnknownFormat"
+
+    # --- RFC5424: version + year prefix
+    todo5 = m5 & pri_ok & pd_isnull(out)
+    if todo5.any():
+        out[todo5 & (cur >= n_arr)] = "VersionNotFound"
+        # char after version is skipped unvalidated; year = chars
+        # [cur+2, cur+6) — non-numeric -> YearInvalid, too short -> EOL,
+        # but '-' (NIL timestamp) and valid years stay undecided
+        for base in (3, 4, 5):
+            sel = todo5 & (cur == base) & (cur < n_arr)
+            if not sel.any():
+                continue
+            y4 = pc.utf8_slice_codeunits(arr, base + 2, base + 6)
+            y_np = y4.to_numpy(zero_copy_only=False)
+            nil = np.array([y.startswith("-") for y in y_np])
+            yshort = np.array([len(y) < 4 for y in y_np])
+            ybad = np.array(
+                [len(y) == 4
+                 and not (y.isdigit()
+                          or (y[0] in "+-" and y[1:].isdigit()))
+                 for y in y_np])
+            out[sel & ~nil & yshort] = "EOL"
+            out[sel & ~nil & ybad] = "YearInvalid"
+
+    return out
+
+
+def pd_isnull(a: np.ndarray) -> np.ndarray:
+    return np.array([x is None for x in a])

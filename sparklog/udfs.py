@@ -214,40 +214,45 @@ def parse_batch_arrow(arr, rfc: np.ndarray, cfg: ParseConfig):
 
     miss = ~(hit3 | hit5)
     slow_parts = []
+    err_codes = None
+    err_pos = np.array([], dtype=np.int64)
     if miss.any():
         miss_idx = np.flatnonzero(miss)
-        sub = pd.Series(
-            pc.filter(arr, pa.array(miss)).to_numpy(zero_copy_only=False),
-            index=miss_idx, dtype=object)
+        miss_arr = pc.filter(arr, pa.array(miss))
         srfc = rfc[miss_idx]
-        sm3 = srfc == RFC_3164
-        sm5 = srfc == RFC_5424
-        frames = []
-        order = []
-        if sm3.any():
-            frames.append(_parse_rfc3164_slow(sub[sm3], cfg))
-            order.append(miss_idx[sm3])
-        if sm5.any():
-            frames.append(_parse_rfc5424_slow(sub[sm5], cfg))
-            order.append(miss_idx[sm5])
-        unk = ~(sm3 | sm5)
-        if unk.any():
-            k = int(unk.sum())
-            f = pd.DataFrame({c: [None] * k for c in _OUTPUT_COLUMNS})
-            f["ts"] = pd.Series([pd.NaT] * k, dtype="M8[ns]")
-            for c in _INT_COLS:
-                f[c] = f[c].astype("Int64")
-            f["parse_error"] = "DetectFailed"
-            frames.append(f)
-            order.append(miss_idx[unk])
-        for f in frames:  # align dtypes so concat never silently casts
-            f["ts_is_nil"] = f["ts_is_nil"].astype(object)
-        slow = pd.concat(frames, ignore_index=True)
-        slow_pos = np.concatenate(order)
-        slow_parts = [(slow, slow_pos)]
+        # Arrow error pre-classification: provable error codes skip the
+        # pandas slow path entirely (garbage bursts stay cheap)
+        codes = fastpath.classify_errors_fast(miss_arr, srfc)
+        codes[~((srfc == RFC_3164) | (srfc == RFC_5424))] = "DetectFailed"
+        classified = np.array([x is not None for x in codes])
+        if classified.any():
+            err_codes = codes[classified]
+            err_pos = miss_idx[classified]
+        rem = ~classified
+        if rem.any():
+            sub = pd.Series(
+                pc.filter(miss_arr, pa.array(rem)).to_numpy(
+                    zero_copy_only=False),
+                index=miss_idx[rem], dtype=object)
+            srfc_r = srfc[rem]
+            sm3 = srfc_r == RFC_3164
+            sm5 = srfc_r == RFC_5424
+            frames = []
+            order = []
+            if sm3.any():
+                frames.append(_parse_rfc3164_slow(sub[sm3], cfg))
+                order.append(miss_idx[rem][sm3])
+            if sm5.any():
+                frames.append(_parse_rfc5424_slow(sub[sm5], cfg))
+                order.append(miss_idx[rem][sm5])
+            for f in frames:  # align dtypes so concat never silently casts
+                f["ts_is_nil"] = f["ts_is_nil"].astype(object)
+            slow = pd.concat(frames, ignore_index=True)
+            slow_pos = np.concatenate(order)
+            slow_parts = [(slow, slow_pos)]
 
-    # gather permutation: concat order is [3164 hits, 5424 hits, slow rows]
-    pos = [np.flatnonzero(hit3), np.flatnonzero(hit5)]
+    # gather permutation: [3164 hits, 5424 hits, classified errs, slow]
+    pos = [np.flatnonzero(hit3), np.flatnonzero(hit5), err_pos]
     if slow_parts:
         pos.append(slow_parts[0][1])
     perm_src = np.concatenate(pos) if pos else np.array([], dtype=np.int64)
@@ -257,9 +262,11 @@ def parse_batch_arrow(arr, rfc: np.ndarray, cfg: ParseConfig):
 
     n3, n5 = int(hit3.sum()), int(hit5.sum())
 
+    n_err = len(err_pos)
+
     def seg(colname, typ):
-        """Build the concatenated [hits3, hits5, slow] segment for one
-        output column, then gather into row order."""
+        """Build the concatenated [hits3, hits5, classified-errors, slow]
+        segment for one output column, then gather into row order."""
         chunks = []
         for present, cols_d, sel, nn in ((m3.any(), cols3,
                                           sel3 if m3.any() else None, n3),
@@ -274,6 +281,11 @@ def parse_batch_arrow(arr, rfc: np.ndarray, cfg: ParseConfig):
                 chunks.append(pa.array(np.zeros(nn, dtype=bool)))
             else:
                 chunks.append(pa.nulls(nn, typ))
+        if n_err:
+            if colname == "parse_error":
+                chunks.append(pa.array(list(err_codes), pa.string()))
+            else:
+                chunks.append(pa.nulls(n_err, typ))
         if slow_parts:
             slow = slow_parts[0][0]
             chunks.append(_slow_col_to_pa(slow[colname], typ))
