@@ -165,3 +165,30 @@ def test_pandas_udf_variant_matches_mapinarrow(spark, tmp_path):
         ga = pa_[c].astype(object).where(pa_[c].notna(), None).tolist()
         gb = pb_[c].astype(object).where(pb_[c].notna(), None).tolist()
         assert ga == gb, c
+
+
+def test_injected_config_goldens_through_spark(spark, tmp_path):
+    """Reference injection-hook goldens (g04/g16-style) through the Spark
+    parse stage with a configured ParseConfig."""
+    import pandas as pd
+
+    cases = [c for c in fixtures.GOLDEN_VALID
+             if c["cfg"] == {"hostname": "dummy"}]
+    assert cases
+    pdf = pd.DataFrame({"doc_id": [c["id"] for c in cases],
+                        "raw": [c["raw"] for c in cases],
+                        "source": "golden"})
+    src_path = str(tmp_path / "tokens")
+    fixtures.write_tokens_table(spark, pdf, src_path, n_partitions=1)
+    cfg = ParseConfig(hostname="dummy",
+                      default_year=fixtures.DEFAULT_YEAR)
+    out = {r["doc_id"]: r.asDict()
+           for r in parse_stage(spark.read.parquet(src_path), cfg).collect()}
+    for c in cases:
+        row = out[c["id"]]
+        assert row["parse_error"] is None
+        for field, want in c["exp"].items():
+            if field == "ts":
+                assert row[field] == pd.Timestamp(want).to_pydatetime()
+            else:
+                assert row[field] == want, (field, row[field], want)
