@@ -43,24 +43,46 @@ def bench(fn, series, reps: int = 3) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
-    from sparklog.grammar import detect_rfc, parse_rfc3164, parse_rfc5424
+    import pyarrow as pa
 
+    from sparklog.grammar import (
+        ParseConfig,
+        detect_rfc,
+        detect_rfc_arrow,
+        parse_rfc3164,
+        parse_rfc5424,
+    )
+    from sparklog.udfs import parse_batch_arrow
+
+    cfg = ParseConfig()
     out = {}
-    cases = [
-        ("detect", detect_rfc, MSG_DETECT),
-        ("parse_3164", parse_rfc3164, MSG_3164),
-        ("parse_5424", parse_rfc5424, MSG_5424),
-    ]
-    for name, fn, msg in cases:
-        s = pd.Series([msg] * n)
-        fn(s)  # warm
-        ns = bench(fn, s)
+
+    # headline: the engine hot path — Arrow batch in, Arrow columns out,
+    # exactly what runs inside mapInArrow per batch on the cluster
+    for name, msg in (("parse_3164", MSG_3164), ("parse_5424", MSG_5424)):
+        arr = pa.array([msg] * n, pa.string())
+        rfc = detect_rfc_arrow(arr)
+        parse_batch_arrow(arr, rfc, cfg)  # warm
+        ns = bench(lambda a: parse_batch_arrow(a, rfc, cfg), arr)
         out[name] = {
             "ns_per_row": round(ns, 1),
             "reference_ns": REFERENCE_NS[name],
             "ratio_vs_go": round(ns / REFERENCE_NS[name], 2),
             "rows_per_sec_per_core": round(1e9 / ns),
         }
+
+    # secondary: detection kernel + the pandas-Series API wrapper (pays an
+    # object-array conversion the Spark path never does)
+    for name, fn, msg in (("detect", detect_rfc, MSG_DETECT),
+                          ("pandas_api_3164", parse_rfc3164, MSG_3164),
+                          ("pandas_api_5424", parse_rfc5424, MSG_5424)):
+        s = pd.Series([msg] * n)
+        fn(s)  # warm
+        ns = bench(fn, s)
+        ref = REFERENCE_NS.get(name.replace("pandas_api", "parse"))
+        out[name] = {"ns_per_row": round(ns, 1)}
+        if ref:
+            out[name]["ratio_vs_go"] = round(ns / ref, 2)
     print(json.dumps({"batch_size": n, "ops": out}))
 
 

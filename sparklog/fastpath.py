@@ -32,22 +32,29 @@ _POW10 = np.array([1, 10, 100, 1000, 10000, 100000, 1000000],
 _NS_MIN = pd.Timestamp.min.value // 1000 + 1
 _NS_MAX = pd.Timestamp.max.value // 1000 - 1
 
+# Capture-free anchored shape validators.  With no capture groups re2 runs
+# its DFA (~6x faster than the capturing NFA path on these inputs); field
+# extraction then uses split/slice/cast kernels on the hit subset only,
+# where every cast is guaranteed safe by the match.
+#
+# RFC3164 day window: sp1(1-2) + day(1-2 digits) + sp2(1-2) must total 4
+# chars (the two Go layouts after space-run collapsing, rfc3164.go:208-211);
+# the three legal shapes are enumerated.
 RX_3164 = (
-    r"^<(?P<pri>[0-9]{1,3})>"
-    r"(?P<mon>Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
-    r"(?P<sp1> {1,2})(?P<day>[0-9]{1,2})(?P<sp2> {1,2})"
-    r"(?P<hh>[0-9]{2}):(?P<mi>[0-9]{2}):(?P<se>[0-9]{2}) "
-    r"(?P<host>[^ ]*) (?P<tag>[^ \[\]:]+)(?P<after>(?s:.*))$"
+    r"^<[0-9]{1,3}>"
+    r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+    r"(?: [0-9]{2} | {2}[0-9] | [0-9] {2})"
+    r"[0-9]{2}:[0-9]{2}:[0-9]{2} "
+    r"[^ ]* [^ \[\]:]+(?s:.*)$"
 )
 
+# app<=47 / proc<=127 / msgid<=31 caps folded into the shape (over-cap rows
+# miss and take the slow path, same as the old post-check).
 RX_5424 = (
-    r"^<(?P<pri>[0-9]{1,3})>(?P<ver>[0-9]) "
-    r"(?P<y>[0-9]{4})-(?P<mo>[0-9]{2})-(?P<d>[0-9]{2})T"
-    r"(?P<hh>[0-9]{2}):(?P<mi>[0-9]{2}):(?P<se>[0-9]{2})"
-    r"(?:\.(?P<fr>[0-9]{1,6}))?"
-    r"(?P<tz>Z|[+-][0-9]{2}:[0-9]{2}) "
-    r"(?P<host>[^ ]*) (?P<app>[^ ]*) (?P<proc>[^ ]*) (?P<msgid>[^ ]*) "
-    r"(?P<rest>(?s:.+))$"
+    r"^<[0-9]{1,3}>[0-9] "
+    r"[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
+    r"(?:\.[0-9]{1,6})?(?:Z|[+-][0-9]{2}:[0-9]{2}) "
+    r"[^ ]* [^ ]{0,47} [^ ]{0,127} [^ ]{0,31} (?s:.+)$"
 )
 
 
@@ -108,141 +115,250 @@ def _sd_split(rest):
 
 
 def _as_arrow(raw) -> pa.Array:
-    if isinstance(raw, (pa.Array, pa.ChunkedArray)):
+    if isinstance(raw, pa.ChunkedArray):
+        return raw.combine_chunks()
+    if isinstance(raw, pa.Array):
         return raw
     return pa.array(raw.tolist(), pa.string())
 
 
+def _clamp(arr: pa.Array, limit: int) -> pa.Array:
+    """Packet-length clamp (rfc3164.go:12 / rfc5424.go:14), skipped when no
+    row exceeds it (byte length bounds codepoint length, so the check is
+    safe for multi-byte text)."""
+    if len(arr) and pc.max(pc.binary_length(arr)).as_py() > limit:
+        return pc.utf8_slice_codeunits(arr, 0, limit)
+    return arr
+
+
+def _str_view(arr: pa.Array):
+    """(data uint8, starts int64, lens int64) raw-buffer view of a
+    StringArray with no nulls (split/list_element outputs here).  All byte
+    positions subsequently gathered are regex-pinned ASCII, so byte offsets
+    equal codepoint offsets."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], np.int32)
+    o = arr.offset
+    starts = offs[o:o + len(arr)].astype(np.int64)
+    lens = offs[o + 1:o + len(arr) + 1].astype(np.int64) - starts
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return data, starts, lens
+
+
+def _byte_at(data: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Bounds-clamped gather (masked rows may index past their own row but
+    never past the buffer)."""
+    if len(data) == 0:
+        return np.zeros(len(idx), dtype=np.uint8)
+    return data[np.minimum(idx, len(data) - 1)]
+
+
+def _two_digits(data, pos):
+    return (_byte_at(data, pos).astype(np.int64) - 48) * 10 + (
+        _byte_at(data, pos + 1).astype(np.int64) - 48)
+
+
+def _suffix(arr: pa.Array, start: int) -> pa.Array:
+    """Byte-based suffix (prefix bytes are regex-pinned ASCII); ~5x cheaper
+    than utf8_slice_codeunits which walks codepoints."""
+    return pc.binary_slice(arr.view(pa.binary()), start, 2 ** 30).view(
+        pa.string())
+
+
+_MON24 = np.array([(ord(m[0]) << 16) | (ord(m[1]) << 8) | ord(m[2])
+                   for m in _MONTH_LIST], dtype=np.int64)
+
+
+def _refine(hit: np.ndarray, refine: np.ndarray, cols: dict):
+    """Scatter the post-regex refinement mask back onto the input index and
+    filter the extracted columns down to the final hit rows."""
+    if refine.all():
+        return hit, cols
+    out = np.zeros(len(hit), dtype=bool)
+    out[np.flatnonzero(hit)[refine]] = True
+    sel = pa.array(refine)
+    cols = {k: (pc.filter(v, sel) if isinstance(v, (pa.Array,
+                                                    pa.ChunkedArray))
+                else v[refine])
+            for k, v in cols.items()}
+    return out, cols
+
+
 def parse_rfc3164_fast(raw, default_year: int):
-    """-> (hit mask ndarray, dict of column ndarrays for hit rows computed
-    over the full index; caller filters by the mask)."""
-    arr = _as_arrow(raw)
-    arr = pc.utf8_slice_codeunits(arr, 0, 2048)
-    ex = pc.extract_regex(arr, RX_3164)
-    valid = _np(pc.is_valid(ex))
-    if not valid.any():
-        return valid, {}
-    g = {f.name: pc.struct_field(ex, i)
-         for i, f in enumerate(ex.type)}
-    g = {k: pc.if_else(pc.is_valid(v), v, "") for k, v in g.items()}
+    """-> (hit mask ndarray over the input, dict of columns for HIT ROWS
+    ONLY; strings stay pa.Array, numerics/ts are numpy)."""
+    arr = _clamp(_as_arrow(raw), 2048)
+    hit = _np(pc.match_substring_regex(arr, RX_3164))
+    if not hit.any():
+        return hit, {}
+    h = arr if hit.all() else pc.filter(arr, pa.array(hit))
 
-    pri = _np(_cast0(g["pri"]))
-    mon_idx = _np(pc.index_in(g["mon"],
-                              value_set=pa.array(_MONTH_LIST)))
-    mon_idx = np.where(valid, mon_idx, 0).astype(np.int64)
-    day = _np(_cast0(g["day"]))
-    hh, mi, se = (_np(_cast0(g[k])) for k in ("hh", "mi", "se"))
-    wlen = (_np(pc.utf8_length(g["sp1"])) + _np(pc.utf8_length(g["day"]))
-            + _np(pc.utf8_length(g["sp2"])))
-    tag_len = _np(pc.utf8_length(g["tag"]))
+    # first space = first char of the day window (sp1 >= 1 always), so
+    # e0 = "<pri>Mon" and e1 has a UNIFORM layout: 2-char day region,
+    # space, HH:MM:SS at 3-10, space, host from 12
+    sp = pc.split_pattern(h, " ", max_splits=1)
+    e0 = pc.list_element(sp, 0)
+    e1 = pc.list_element(sp, 1)
 
-    ok = (valid & (wlen == 4)
-          & (day >= 1) & (day <= _DAYS_LEAP[mon_idx])
-          & (hh <= 23) & (mi <= 59) & (se <= 59)
-          & (tag_len <= 31))
+    d0, s0, l0 = _str_view(e0)
+    # priority: 1-3 digits at bytes 1..l0-5 ("<" + digits + ">" + "Mon")
+    priw = l0 - 5
+    dig1 = _byte_at(d0, s0 + 1).astype(np.int64) - 48
+    dig2 = _byte_at(d0, s0 + 2).astype(np.int64) - 48
+    dig3 = _byte_at(d0, s0 + 3).astype(np.int64) - 48
+    pri = np.where(priw == 1, dig1,
+                   np.where(priw == 2, dig1 * 10 + dig2,
+                            dig1 * 100 + dig2 * 10 + dig3))
+    m24 = ((_byte_at(d0, s0 + l0 - 3).astype(np.int64) << 16)
+           | (_byte_at(d0, s0 + l0 - 2).astype(np.int64) << 8)
+           | _byte_at(d0, s0 + l0 - 1).astype(np.int64))
+    mon_idx = np.zeros(len(e0), dtype=np.int64)
+    for i, c in enumerate(_MON24):
+        if i:
+            mon_idx[m24 == c] = i
 
-    # tag termination: '' (EOL) / space -> trivial; '[' ']' ':' -> the
-    # enough-mode scan must find a space inside the 32-char window, else
-    # fall back to the slow path (window-exhaustion quirk).
-    after = g["after"]
-    first = pc.utf8_slice_codeunits(after, 0, 1)
-    f_np = _np(first)
-    is_special = (f_np == "[") | (f_np == "]") | (f_np == ":")
-    p_space = _np(pc.find_substring(after, " "))
-    window_rem = 32 - tag_len
-    special_ok = (p_space >= 0) & (p_space < window_rem)
-    ok &= ~is_special | special_ok
+    d1, s1, _l1 = _str_view(e1)
+    b4 = _byte_at(d1, s1)
+    b5 = _byte_at(d1, s1 + 1)
+    day = np.where(b4 == 32, b5.astype(np.int64) - 48,
+                   np.where(b5 == 32, b4.astype(np.int64) - 48,
+                            (b4.astype(np.int64) - 48) * 10
+                            + b5.astype(np.int64) - 48))
+    hh = _two_digits(d1, s1 + 3)
+    mi = _two_digits(d1, s1 + 6)
+    se = _two_digits(d1, s1 + 9)
 
-    # content: for special rows = trim(after past the first space); the
-    # sentinel-append is harmless because content is space-trimmed anyway
-    sent = pc.binary_join_element_wise(after, " ", "")
-    parts = pc.split_pattern(sent, " ", max_splits=1)
-    after_space = pc.list_element(parts, 1)
-    content = pc.if_else(
-        pa.array(is_special & special_ok),
-        pc.utf8_trim(after_space, " "),
-        pc.utf8_trim(after, " "))
+    # host SP tag...: sentinel-append so the split always yields 2 parts
+    rest2 = _suffix(e1, 12)
+    sp2 = pc.split_pattern(pc.binary_join_element_wise(rest2, " ", ""),
+                           " ", max_splits=1)
+    host = pc.list_element(sp2, 0)
+    tagrest = pc.list_element(sp2, 1)
+
+    # tag = first word up to the first of '[' / ']' / ':' (the slow path's
+    # state machine); the canonical content is everything past the first
+    # space either way (enough-mode consumes-and-drops up to it).  tagrest
+    # already carries the sentinel space, so the split always has 2 parts
+    # and find_substring always succeeds.
+    w0sp = pc.split_pattern(tagrest, " ", max_splits=1)
+    w0 = pc.list_element(w0sp, 0)
+    content = pc.utf8_trim(pc.list_element(w0sp, 1), " ")
+    t1 = pc.list_element(pc.split_pattern(w0, "[", max_splits=1), 0)
+    t2 = pc.list_element(pc.split_pattern(t1, "]", max_splits=1), 0)
+    tag = pc.list_element(pc.split_pattern(t2, ":", max_splits=1), 0)
+    tag_len = _np(pc.utf8_length(tag))
+    w0_len = _np(pc.utf8_length(w0))
+
+    # special-terminated tags must find a space inside the 32-char window
+    # (p measured in tagrest incl sentinel; beyond-window or
+    # window-exhaustion quirk rows fall back to the slow path)
+    is_special = tag_len < w0_len
+    p_space = _np(pc.find_substring(tagrest, " "))
+    refine = ((day >= 1) & (day <= _DAYS_LEAP[mon_idx])
+              & (hh <= 23) & (mi <= 59) & (se <= 59)
+              & (tag_len <= 31)
+              & (~is_special | (p_space < 32)))
 
     us = _epoch_us(np.full_like(pri, default_year), mon_idx + 1, day,
                    hh, mi, se, np.zeros_like(pri), np.zeros_like(pri))
-    ts = _us_to_dt64(us, ok)
+    ts = _us_to_dt64(us, refine)
 
     cols = {
         "priority": pri, "facility": pri // 8, "severity": pri % 8,
         "ts": ts, "tz_offset_minutes": np.zeros_like(pri),
-        "hostname": g["host"],      # strings stay as Arrow arrays
-        "tag": g["tag"],
+        "hostname": host,           # strings stay as Arrow arrays
+        "tag": tag,
         "content": content,
     }
-    return ok, cols
+    return _refine(hit, refine, cols)
 
 
 def parse_rfc5424_fast(raw):
-    arr = _as_arrow(raw)
-    arr = pc.utf8_slice_codeunits(arr, 0, 3048)
-    ex = pc.extract_regex(arr, RX_5424)
-    valid = _np(pc.is_valid(ex))
-    if not valid.any():
-        return valid, {}
-    g = {f.name: pc.struct_field(ex, i) for i, f in enumerate(ex.type)}
-    g = {k: pc.if_else(pc.is_valid(v), v, "") for k, v in g.items()}
+    """-> (hit mask ndarray over the input, dict of columns for HIT ROWS
+    ONLY; strings stay pa.Array, numerics/ts are numpy)."""
+    arr = _clamp(_as_arrow(raw), 3048)
+    hit = _np(pc.match_substring_regex(arr, RX_5424))
+    if not hit.any():
+        return hit, {}
+    h = arr if hit.all() else pc.filter(arr, pa.array(hit))
 
-    pri = _np(_cast0(g["pri"]))
-    ver = _np(_cast0(g["ver"]))
-    y, mo, d, hh, mi, se = (_np(_cast0(g[k]))
-                            for k in ("y", "mo", "d", "hh", "mi", "se"))
-    fr_len = _np(pc.utf8_length(g["fr"]))
-    us = _np(_cast0(g["fr"])) * _POW10[6 - np.minimum(fr_len, 6)]
+    # "<pri>V TS HOST APP PROC MSGID SD..." — exactly 6 header separators
+    sp = pc.split_pattern(h, " ", max_splits=6)
+    e0 = pc.list_element(sp, 0)      # "<pri>V"
+    ts_f = pc.list_element(sp, 1)
+    host, app, proc, msgid = (pc.list_element(sp, i) for i in range(2, 6))
+    rest_sd = pc.list_element(sp, 6)
 
-    tz = g["tz"]
-    tz_np = _np(tz)
-    is_z = tz_np == "Z"
-    tz_sign = np.where(np.char.startswith(tz_np.astype(str), "-"), -1, 1)
-    tz_hh = _np(_cast0(pc.utf8_slice_codeunits(tz, 1, 3)))
-    tz_mi = _np(_cast0(pc.utf8_slice_codeunits(tz, 4, 6)))
-    tz_min = np.where(is_z, 0, tz_sign * (tz_hh * 60 + tz_mi))
+    d0, s0, l0 = _str_view(e0)
+    priw = l0 - 3                    # "<" + digits + ">" + version char
+    dig1 = _byte_at(d0, s0 + 1).astype(np.int64) - 48
+    dig2 = _byte_at(d0, s0 + 2).astype(np.int64) - 48
+    dig3 = _byte_at(d0, s0 + 3).astype(np.int64) - 48
+    pri = np.where(priw == 1, dig1,
+                   np.where(priw == 2, dig1 * 10 + dig2,
+                            dig1 * 100 + dig2 * 10 + dig3))
+    ver = _byte_at(d0, s0 + l0 - 1).astype(np.int64) - 48
 
-    app_len = _np(pc.utf8_length(g["app"]))
-    proc_len = _np(pc.utf8_length(g["proc"]))
-    msgid_len = _np(pc.utf8_length(g["msgid"]))
+    # fixed prefix "YYYY-MM-DDTHH:MM:SS", then optional .frac, then tz
+    dt, st, lt = _str_view(ts_f)
+    y = (_two_digits(dt, st) * 100 + _two_digits(dt, st + 2))
+    mo, d = _two_digits(dt, st + 5), _two_digits(dt, st + 8)
+    hh, mi, se = (_two_digits(dt, st + p) for p in (11, 14, 17))
 
-    ok = (valid
-          & (mo >= 1) & (mo <= 12) & (d >= 1) & (d <= 31)
-          & (hh <= 23) & (mi <= 59) & (se <= 59)
-          & (is_z | ((tz_hh <= 23) & (tz_mi <= 59)))
-          & (app_len <= 47) & (proc_len <= 127) & (msgid_len <= 31))
+    is_z = _byte_at(dt, st + lt - 1) == ord("Z")
+    tz_start = st + lt - 6
+    tz_neg = _byte_at(dt, tz_start) == ord("-")
+    tz_hh = _two_digits(dt, tz_start + 1)
+    tz_mi = _two_digits(dt, tz_start + 4)
+    tz_min = np.where(is_z, 0,
+                      np.where(tz_neg, -1, 1) * (tz_hh * 60 + tz_mi))
+
+    # fraction digits between byte 20 and the tz (the regex caps at 6)
+    fr_len = lt - 19 - np.where(is_z, 1, 6)
+    fr_len = np.maximum(fr_len - 1, 0)  # the '.' itself, absent when 0
+    # us = sum f_j * 10^(5-j) over the k fraction digits (== int(frac)
+    # scaled by 10^(6-k))
+    j = np.arange(6, dtype=np.int64)
+    fdig = (_byte_at(dt, st[:, None] + 20 + j[None, :]).astype(np.int64)
+            - 48)
+    fmask = j[None, :] < fr_len[:, None]
+    us = (np.where(fmask, fdig, 0) * _POW10[5 - j][None, :]).sum(axis=1)
+
+    refine = ((mo >= 1) & (mo <= 12) & (d >= 1) & (d <= 31)
+              & (hh <= 23) & (mi <= 59) & (se <= 59)
+              & (is_z | ((tz_hh <= 23) & (tz_mi <= 59))))
 
     # STRUCTURED-DATA: NILVALUE first char '-' (trailing junk after '-' is
     # consumed by the header's unvalidated skip); '[' blocks via '] '
     # terminator; anything else -> slow path (error rows)
-    rest = g["rest"]
-    c0 = _np(pc.utf8_slice_codeunits(rest, 0, 1))
-    is_nil_sd = c0 == "-"
-    is_open = c0 == "["
-    sd_blocks, msg_blocks, has_term = _sd_split(rest)
-    ends_br = _np(pc.ends_with(rest, "]"))
-    sd_ok = is_nil_sd | (is_open & (has_term | ends_br))
-    ok &= sd_ok
+    dr, sr, _lr = _str_view(rest_sd)
+    c0 = _byte_at(dr, sr)
+    is_nil_sd = c0 == ord("-")
+    is_open = c0 == ord("[")
+    sd_blocks, msg_blocks, has_term = _sd_split(rest_sd)
+    ends_br = _np(pc.ends_with(rest_sd, "]"))
+    refine &= is_nil_sd | (is_open & (has_term | ends_br))
 
-    nil_msg = pc.utf8_trim(pc.utf8_slice_codeunits(rest, 2, 2 ** 30), " ")
+    nil_msg = pc.utf8_trim(_suffix(rest_sd, 2), " ")
     sd = pc.if_else(pa.array(is_nil_sd), pa.scalar("-", pa.string()),
                     sd_blocks)
     msg = pc.if_else(pa.array(is_nil_sd), nil_msg, msg_blocks)
 
     epoch = _epoch_us(y, mo, d, hh, mi, se, us, tz_min)
-    ts = _us_to_dt64(epoch, ok)
+    ts = _us_to_dt64(epoch, refine)
 
     cols = {
         "priority": pri, "facility": pri // 8, "severity": pri % 8,
         "version": ver, "ts": ts, "tz_offset_minutes": tz_min,
-        "hostname": g["host"],      # strings stay as Arrow arrays
-        "app_name": g["app"],
-        "proc_id": g["proc"],
-        "msg_id": g["msgid"],
+        "hostname": host,           # strings stay as Arrow arrays
+        "app_name": app,
+        "proc_id": proc,
+        "msg_id": msgid,
         "structured_data": sd,
         "message": msg,
     }
-    return ok, cols
+    return _refine(hit, refine, cols)
 
 
 # ---------------------------------------------------------------------------

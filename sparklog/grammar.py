@@ -315,7 +315,7 @@ def _merge_fast_slow(raw: pd.Series, cfg: ParseConfig, fast_fn, slow_fn,
         if c in _INT_OUT_COLS:
             flt = np.full(n, np.nan)
             if c in cols:
-                flt[hit] = cols[c][hit]
+                flt[hit] = cols[c]          # cols carry hit rows only
             if slow is not None:
                 flt[miss] = slow[c].to_numpy(dtype="float64",
                                              na_value=np.nan)
@@ -323,7 +323,7 @@ def _merge_fast_slow(raw: pd.Series, cfg: ParseConfig, fast_fn, slow_fn,
         elif c == "ts":
             ts = np.full(n, np.datetime64("NaT"), dtype="M8[ns]")
             if c in cols:
-                ts[hit] = cols[c][hit]
+                ts[hit] = cols[c]
             if slow is not None:
                 ts[miss] = slow[c].to_numpy(dtype="M8[ns]")
             data[c] = ts
@@ -333,7 +333,7 @@ def _merge_fast_slow(raw: pd.Series, cfg: ParseConfig, fast_fn, slow_fn,
                 src = cols[c]
                 if not isinstance(src, np.ndarray):  # pa.Array strings
                     src = src.to_numpy(zero_copy_only=False)
-                obj[hit] = src[hit]
+                obj[hit] = src
             elif c in fast_only_cols:
                 obj[hit] = fast_only_cols[c]
             if slow is not None:

@@ -201,16 +201,26 @@ def parse_batch_arrow(arr, rfc: np.ndarray, cfg: ParseConfig):
     hit5 = np.zeros(n, dtype=bool)
     cols3: dict = {}
     cols5: dict = {}
-    if m3.any():
+    if m3.all():
+        h3, cols3 = fastpath.parse_rfc3164_fast(arr, cfg.default_year)
+        hit3 = h3
+    elif m3.any():
         a3 = pc.filter(arr, pa.array(m3))
         h3, cols3 = fastpath.parse_rfc3164_fast(a3, cfg.default_year)
         hit3[np.flatnonzero(m3)[h3]] = True
-        sel3 = pa.array(h3)
-    if m5.any():
+    if m5.all():
+        h5, cols5 = fastpath.parse_rfc5424_fast(arr)
+        hit5 = h5
+    elif m5.any():
         a5 = pc.filter(arr, pa.array(m5))
         h5, cols5 = fastpath.parse_rfc5424_fast(a5)
         hit5[np.flatnonzero(m5)[h5]] = True
-        sel5 = pa.array(h5)
+
+    # homogeneous canonical batch (the 100 TB common case): columns are
+    # already in row order — skip the concat+gather entirely
+    for full_hit, cols_d in ((hit3, cols3), (hit5, cols5)):
+        if full_hit.all():
+            return {c: _fast_col(cols_d, c, n) for c in _OUTPUT_COLUMNS}
 
     miss = ~(hit3 | hit5)
     slow_parts = []
@@ -268,14 +278,11 @@ def parse_batch_arrow(arr, rfc: np.ndarray, cfg: ParseConfig):
         """Build the concatenated [hits3, hits5, classified-errors, slow]
         segment for one output column, then gather into row order."""
         chunks = []
-        for present, cols_d, sel, nn in ((m3.any(), cols3,
-                                          sel3 if m3.any() else None, n3),
-                                         (m5.any(), cols5,
-                                          sel5 if m5.any() else None, n5)):
-            if not present:
+        for nn, cols_d in ((n3, cols3), (n5, cols5)):
+            if not nn:
                 continue
             if colname in cols_d:
-                chunks.append(_to_pa(cols_d[colname], typ, sel))
+                chunks.append(_to_pa(cols_d[colname], typ))
             elif colname == "ts_is_nil":
                 # fast-path hits always carry a concrete False
                 chunks.append(pa.array(np.zeros(nn, dtype=bool)))
@@ -294,33 +301,44 @@ def parse_batch_arrow(arr, rfc: np.ndarray, cfg: ParseConfig):
                                    for c in chunks])
         return merged.take(inv_pa)
 
-    out: dict = {}
-    for c in _OUTPUT_COLUMNS:
-        if c in _INT_COLS:
-            typ = pa.int32()
-        elif c == "ts":
-            typ = pa.timestamp("us")
-        elif c == "ts_is_nil":
-            typ = pa.bool_()
-        else:
-            typ = pa.string()
-        out[c] = seg(c, typ)
-    return out
+    return {c: seg(c, _pa_type(c)) for c in _OUTPUT_COLUMNS}
 
 
-def _to_pa(v, typ, sel):
-    """Fast-path column (numpy or pa.Array over the dialect subset) ->
-    pa.Array of `typ` filtered to hit rows."""
+def _pa_type(colname):
     import pyarrow as pa
-    import pyarrow.compute as pc
+
+    if colname in _INT_COLS:
+        return pa.int32()
+    if colname == "ts":
+        return pa.timestamp("us")
+    if colname == "ts_is_nil":
+        return pa.bool_()
+    return pa.string()
+
+
+def _to_pa(v, typ):
+    """Fast-path column (numpy or pa.Array over the hit rows) -> pa.Array
+    of `typ`."""
+    import pyarrow as pa
 
     if isinstance(v, (pa.Array, pa.ChunkedArray)):
-        return pc.filter(v, sel).cast(typ)
-    if v.dtype.kind == "M":
-        return pc.filter(pa.array(v), sel).cast(typ)
+        return v.cast(typ)
     if typ == pa.bool_():
-        return pc.filter(pa.array(v.astype(bool)), sel)
-    return pc.filter(pa.array(v), sel).cast(typ)
+        return pa.array(v.astype(bool))
+    return pa.array(v).cast(typ)
+
+
+def _fast_col(cols_d: dict, colname: str, n: int):
+    """All-hit shortcut column builder: fast-path output (already in row
+    order) -> pa.Array; absent columns are nulls, ts_is_nil is False."""
+    import pyarrow as pa
+
+    typ = _pa_type(colname)
+    if colname in cols_d:
+        return _to_pa(cols_d[colname], typ)
+    if colname == "ts_is_nil":
+        return pa.array(np.zeros(n, dtype=bool))
+    return pa.nulls(n, typ)
 
 
 def _slow_col_to_pa(series: pd.Series, typ):

@@ -57,7 +57,11 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
     slim = src.select("doc_id", "source")
     plan = _plan(slim)
     scan_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    assert scan_line and "tokens" not in scan_line[0]
+    # check the schema part only (the scan's file path itself ends in
+    # .../tokens, which would false-trip a whole-line substring check)
+    assert scan_line
+    schema_part = scan_line[0].split("ReadSchema:")[1]
+    assert "tokens" not in schema_part
 
 
 def test_query_plans_single_udf(spark):
