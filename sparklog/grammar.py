@@ -29,10 +29,17 @@ range (years <1678 or >2261) parse successfully but surface ``ts = null``.
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+
+# Resolved ONCE per process, mirroring the reference's time.Now().Year()
+# default for year-less RFC3164 timestamps (rfc3164/rfc3164.go:331-346).
+# Jobs that need reproducibility across year boundaries must pin
+# ParseConfig(default_year=...) explicitly (tests and oracles do).
+CURRENT_YEAR = _dt.date.today().year
 
 # --- constants (reference: rfc3164/rfc3164.go:12-17, rfc5424/rfc5424.go:14-21)
 MAX_PACKET_LEN_3164 = 2048
@@ -92,6 +99,46 @@ _OUTPUT_COLUMNS = [
 ]
 
 
+# Go reference-layout tokens -> strptime, fixed-width only (every supported
+# token consumes exactly len(token) input chars, so the consumed length of a
+# translated layout is len(layout) with no extra bookkeeping).  Variable-
+# width Go tokens map to None and raise.
+_GO_TOKENS = [
+    ("2006", "%Y"), ("-07:00", "%z"), ("-0700", "%z"), (".000000", ".%f"),
+    (".000", ".%f"), ("January", None), ("Monday", None), ("Jan", "%b"),
+    ("Mon", None), ("MST", None), ("Z07:00", None), ("Z0700", None),
+    ("15", "%H"), ("01", "%m"), ("02", "%d"), ("03", "%I"), ("04", "%M"),
+    ("05", "%S"), ("06", "%y"), ("PM", "%p"), ("pm", None), ("_2", None),
+    ("1", None), ("2", None), ("3", None), ("4", None), ("5", None),
+]
+
+
+def go_layout_to_strptime(layout: str) -> str:
+    """Translate a Go reference-time layout (the argument the reference's
+    WithTimestampFormat takes, rfc3164/rfc3164.go:79-86) to a strptime
+    pattern.  Only fixed-width tokens are supported; variable-width ones
+    ('January', 'Mon', '_2', bare '2'...) raise so a silent all-error parse
+    can't happen."""
+    out: list[str] = []
+    i, n = 0, len(layout)
+    while i < n:
+        for tok, rep in _GO_TOKENS:
+            if layout.startswith(tok, i):
+                if rep is None:
+                    raise ValueError(
+                        f"unsupported variable-width Go layout token "
+                        f"{tok!r}; pass a strptime pattern with an "
+                        f"explicit ts_format_len instead")
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            c = layout[i]
+            out.append("%%" if c == "%" else c)
+            i += 1
+    return "".join(out)
+
+
 @dataclass(frozen=True)
 class ParseConfig:
     """Job-level equivalents of the reference's With* injection hooks
@@ -101,10 +148,13 @@ class ParseConfig:
     hostname: str | None = None      # WithHostname
     tag: str | None = None           # WithTag          (RFC3164 only; 5424 noop)
     location: str = "UTC"            # WithLocation     (RFC3164 only; 5424 noop)
-    ts_format: str | None = None     # WithTimestampFormat as a strptime pattern
+    ts_format: str | None = None     # WithTimestampFormat: a Go reference
+    #   layout exactly as the reference API takes it (auto-translated), or
+    #   a strptime pattern (detected by '%')
     ts_format_len: int | None = None  # literal length the custom layout consumes
-    default_year: int = 2025         # frozen stand-in for time.Now().Year()
-                                     # (rfc3164/rfc3164.go:331-346)
+    default_year: int = CURRENT_YEAR  # time.Now().Year() equivalent,
+                                      # resolved once per process
+                                      # (rfc3164/rfc3164.go:331-346)
 
 
 DEFAULT_CONFIG = ParseConfig()
@@ -179,13 +229,16 @@ def _ts_3164(rest1: pd.Series, cfg: ParseConfig, err: pd.Series):
     fmt_len) — fmt_len is the scalar layout width consumed on success.
     """
     if cfg.ts_format is not None:
+        fmt = cfg.ts_format
+        if "%" not in fmt:  # a Go layout passed verbatim, as the reference
+            fmt = go_layout_to_strptime(fmt)
         fmt_len = cfg.ts_format_len or len(cfg.ts_format)
         sub = rest1.str.slice(0, fmt_len)
         full = sub.str.len() == fmt_len
-        wall = pd.to_datetime(sub.where(full), format=cfg.ts_format,
+        wall = pd.to_datetime(sub.where(full), format=fmt,
                               errors="coerce")
         ok = wall.notna()
-        if "%Y" not in cfg.ts_format:
+        if "%Y" not in fmt:
             # layout has no year -> Go parses year 0 -> fixTimestampIfNeeded
             wall = _rebase_year(wall, cfg.default_year)
         _set_err(err, ~ok, E_TIMESTAMP_UNKNOWN_FORMAT)

@@ -106,17 +106,33 @@ def syslog_parse_rfc3164(spark, sf):
         F.col("p_content").alias("content"))
 
 
-SQL_SYSLOG_PARSE_RFC3164 = """
+# Year-less 3164 timestamps are stamped with the engine's default_year
+# (resolved current year).  The oracle mirrors Go time.Date normalization
+# (month-start + day offset) so a Feb 29 source ts rolled onto a non-leap
+# year lands on Mar 1 in both engines.
+def _sql_3164_ts(year: int, fmt: str, hour_only: bool = False) -> str:
+    hm = "0, 0" if hour_only else "minute(ts), second(ts)::DOUBLE"
+    return (f"strftime(make_timestamp({year}, month(ts), 1, hour(ts), {hm})"
+            f" + (day(ts) - 1) * INTERVAL '1 day', '{fmt}')")
+
+
+def _sql_parse_rfc3164(year: int) -> str:
+    return f"""
 SELECT event_id AS doc_id,
        (event_id % 192)::BIGINT AS priority,
        ((event_id % 192) // 8)::BIGINT AS facility,
        ((event_id % 192) % 8)::BIGINT AS severity,
-       '2025-' || strftime(ts, '%m-%d %H:%M:%S') AS ts_str,
+       {_sql_3164_ts(year, '%Y-%m-%d %H:%M:%S')} AS ts_str,
        'host' || (user_id % 50)::VARCHAR AS hostname,
        event_type AS tag,
        'value=' || floor(value * 100)::BIGINT::VARCHAR AS content
 FROM events
 """
+
+
+from .grammar import CURRENT_YEAR  # noqa: E402  (oracle/engine year parity)
+
+SQL_SYSLOG_PARSE_RFC3164 = _sql_parse_rfc3164(CURRENT_YEAR)
 
 
 def syslog_parse_rfc5424(spark, sf):
@@ -282,14 +298,49 @@ def syslog_hourly_agg(spark, sf):
                .agg(F.count("*").alias("n_events")))
 
 
-SQL_SYSLOG_HOURLY_AGG = """
+SQL_SYSLOG_HOURLY_AGG = f"""
 SELECT ((event_id % 192) // 8)::BIGINT AS facility,
        ((event_id % 192) % 8)::BIGINT AS severity,
-       '2025-' || strftime(date_trunc('hour', ts), '%m-%d %H:00:00') AS hour,
+       {_sql_3164_ts(CURRENT_YEAR, '%Y-%m-%d %H:00:00', hour_only=True)}
+           AS hour,
        count(*)::BIGINT AS n_events
 FROM events
 GROUP BY 1, 2, 3
 """
+
+
+def syslog_streaming_hourly(spark, sf):
+    """Structured Streaming parity: the SAME hourly facility x severity
+    aggregate as syslog_hourly_agg, computed by the availableNow streaming
+    job (watermarked tumbling window over a file-source token stream,
+    multiple epochs via maxFilesPerTrigger) and checked against the batch
+    oracle SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .encoding import tokenize_col
+    from .streaming import run_streaming_hourly_batch
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    tok_dir = f"/tmp/sparklog_stream_tokens_{tag}"
+    if not os.path.exists(os.path.join(tok_dir, "_SUCCESS")):
+        ev = _t(spark, sf, "events")
+        (ev.select(F.col("event_id").cast("string").alias("doc_id"),
+                   _line_3164_col().alias("raw"),
+                   F.lit("events").alias("source"))
+           .withColumn("tokens", tokenize_col("raw"))
+           .withColumn("n_tok", F.size("tokens").cast("int"))
+           .select("doc_id", "tokens", "n_tok", "source")
+           .repartition(4)
+           .write.mode("overwrite").parquet(tok_dir))
+    out = run_streaming_hourly_batch(spark, tok_dir,
+                                     tempfile.mkdtemp(prefix="slck_"))
+    return out.select(
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"))
 
 
 def syslog_error_taxonomy(spark, sf):
@@ -497,26 +548,50 @@ _SHINGLES_DUCK = (
 
 
 def dedup_ngram_jaccard(spark, sf):
-    """Near-dup detection: word-3-gram Jaccard >= 0.8 within (lang, source)
-    blocks.  Blocking keeps the self-join quadratic only per block — the
-    strategy that survives scale (the block key would become the shuffle
-    key at 100 TB)."""
+    """Near-dup detection: word-3-gram Jaccard >= 0.8 within (lang, source),
+    via prefix-filter candidate generation + exact verification of the
+    candidate pairs only (no self-join on a fixed-cardinality block key).
+
+    Prefix-filter guarantee (exact, not probabilistic): order each doc's
+    shingles rarest-first (global doc-frequency, shingle tiebreak).  If
+    J(A,B) >= t, the common shingles number >= t*|A|, so at least one falls
+    inside A's first |A| - ceil(t*|A|) + 1 shingles — joining each doc's
+    PREFIX shingles against ALL shingles is a provable superset of the
+    true pairs.  Prefix shingles are the globally rarest, so the shingle
+    join key has bounded fan-out on non-degenerate corpora; at 10^12 docs
+    the shuffle keys are (shingle) and (doc_id), never a low-cardinality
+    block."""
+    t = F.lit(0.8)
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "source",
         F.expr(_SHINGLES_SPARK.format(w="split(text, ' ')")).alias("sh"))
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = inter / union
-    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+    ex = d.select("doc_id", "lang", "source", F.size("sh").alias("nsh"),
+                  F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    pref = (ex.join(freq, "s")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn")
+                     <= F.col("nsh") - F.ceil(t * F.col("nsh")) + 1))
+    a = pref.select("doc_id", "lang", "source", "s").alias("a")
+    b = ex.select("doc_id", "lang", "source", "s").alias("b")
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.lang") == F.col("b.lang"))
                    & (F.col("a.source") == F.col("b.source"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .where(union > 0)
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.round(jac, 4).alias("jaccard"))
-             .where(F.col("jaccard") >= 0.8))
+                   & (F.col("a.doc_id") != F.col("b.doc_id")))
+             .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                     F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+             .distinct())
+    sh_a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    sh_b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return (cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+                .where(union > 0)
+                .select("doc_a", "doc_b",
+                        F.round(inter / union, 4).alias("jaccard"))
+                .where(F.col("jaccard") >= 0.8)
+                .select("doc_a", "doc_b", "jaccard"))
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
@@ -536,33 +611,54 @@ WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
 """
 
 
-def dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH candidate pairs: 4 md5-seeded min-hashes over word
-    3-grams, banded 2x2; pairs sharing a band bucket.  md5 gives identical
-    portable hash values in both engines; min over hex strings is a valid
-    min-hash (any total order works).
+# Degenerate-bucket guard: a band shared by more than this many docs (all-
+# boilerplate corpora, zero vectors) would make the within-bucket self-join
+# quadratic on one hot key; oversized buckets are dropped before the join.
+# The test corpora stay far below the cap, so oracle parity is unaffected;
+# production monitoring should count dropped buckets (see
+# tests/test_bucket_caps.py for the bounded-fan-out proof).
+LSH_BUCKET_CAP = 1024
 
-    Formulated as explode(shingles) -> per-shingle hashes -> groupBy(doc)
-    min-agg: shingles are computed ONCE (inlined array lambdas would
-    recompute the shingle array per hash seed), and the explode/agg shape
-    is the one that scales — the shuffle key is doc_id and partial min-agg
-    combines map-side."""
+
+def _cap_buckets(df: DataFrame, key: str, cap: int) -> DataFrame:
+    """Drop groups over the cap via a window count (same shuffle key as the
+    downstream self-join, so AQE reuses the exchange)."""
+    wb = Window.partitionBy(key)
+    return (df.withColumn("_bn", F.count("*").over(wb))
+              .where(F.col("_bn") <= cap)
+              .drop("_bn"))
+
+
+def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
+    """MinHash+LSH candidate pairs: 4 min-hashes over word 3-grams derived
+    from ONE md5 per shingle (8-hex-char substrings of the digest), banded
+    2x2; pairs sharing a band bucket.  md5 gives identical portable hash
+    values in both engines; min over hex strings is a valid min-hash (any
+    total order works), and the single-digest derivation quarters the
+    hashing cost vs per-seed md5 calls.
+
+    Formulated as explode(shingles) -> per-shingle hash -> groupBy(doc)
+    min-agg: shingles are computed ONCE, and the explode/agg shape is the
+    one that scales — the shuffle key is doc_id and partial min-agg
+    combines map-side.  Oversized band buckets are dropped (bucket_cap)."""
     w = "split(text, ' ')"
     sh = _SHINGLES_SPARK.format(w=w)
     d = _t(spark, sf, "documents")
     exploded = (d.where(F.expr(f"size({w}) >= 3"))
                  .select(F.col("doc_id").cast("long").alias("doc_id"),
-                         F.explode(F.expr(sh)).alias("s")))
+                         F.explode(F.expr(sh)).alias("s"))
+                 .select("doc_id", F.md5("s").alias("h")))
     sigs = (exploded
             .groupBy("doc_id")
-            .agg(*[F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s"))))
-                   .alias(f"h{k}") for k in range(4)]))
+            .agg(*[F.min(F.substring("h", 1 + 8 * k, 8)).alias(f"h{k}")
+                   for k in range(4)]))
     bands = sigs.select(
         "doc_id",
         F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1").alias("band"),
     ).union(sigs.select(
         "doc_id",
         F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3").alias("band")))
+    bands = _cap_buckets(bands, "band", bucket_cap)
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -576,7 +672,8 @@ def _sql_minhash() -> str:
     w = "string_split(text, ' ')"
     sh = _SHINGLES_DUCK.format(w=w)
     sig = ", ".join(
-        f"list_min(list_transform({sh}, s -> md5('{k}|' || s))) AS h{k}"
+        f"list_min(list_transform({sh}, s -> substr(md5(s), {1 + 8 * k}, 8)"
+        f")) AS h{k}"
         for k in range(4))
     return f"""
 WITH sigs AS (
@@ -829,11 +926,19 @@ def multimodal_feature_stub(spark, sf):
 
         for pdf in batches:
             pl = pdf["payload"]
+            lens = pl.map(len).to_numpy(dtype=np.int64)
+            # one concatenated buffer + prefix-sum segment sums: no
+            # per-row loop, exact for empty rows anywhere
+            flat = np.frombuffer(b"".join(pl), dtype=np.uint8)
+            csum = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.cumsum(flat, dtype=np.int64, out=csum[1:])
+            starts = np.zeros(len(pl), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = csum[starts + lens] - csum[starts]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_bytes": pl.map(len).astype("int64"),
-                "byte_sum": [int(np.frombuffer(b, dtype=np.uint8)
-                             .sum(dtype=np.int64)) for b in pl],
+                "n_bytes": lens,
+                "byte_sum": sums,
             })
 
     return d.mapInPandas(extract,
@@ -851,16 +956,55 @@ FROM documents
 
 def asof_join_event_rates(spark, sf):
     """As-of join (Spark has no native one): each event picks the latest
-    rate row with rts <= ts.  The rate side is small by construction, so
-    the scale strategy is broadcast range-join + max_by argmax — no shuffle
-    of the event side.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    rate row with rts <= ts.
+
+    Scale shape: NO row explosion and NO broadcast of a side that grows
+    with the fact table.  Rates are unioned into the event stream and each
+    event takes last(rate, ignoreNulls) over a window partitioned by a
+    coarse time bucket (rate rows sort before events at equal ts, matching
+    the <= semantics).  Events in a bucket older than its first rate take
+    the carry — the last rate of any earlier bucket — computed on the tiny
+    per-bucket aggregate (one row per bucket) and broadcast back.  Total:
+    one shuffle of events keyed by time bucket + one tiny aggregate."""
     ev = _t(spark, sf, "events")
     rates = (ev.where(F.col("event_id") % 500 == 0)
                .select(F.col("ts").alias("rts"),
                        F.col("event_id").alias("rate")))
-    j = ev.join(F.broadcast(rates), F.col("rts") <= F.col("ts"), "left")
-    return (j.groupBy(F.col("event_id").cast("long").alias("event_id"))
-             .agg(F.max_by("rate", "rts").cast("long").alias("rate")))
+
+    bucket = F.date_trunc("day", "ts").alias("bucket")
+    u = (ev.select(bucket, "ts", F.col("event_id").alias("event_id"),
+                   F.lit(None).cast(ev.schema["event_id"].dataType)
+                    .alias("rate"), F.lit(1).alias("kind"))
+           .unionByName(
+               rates.select(F.date_trunc("day", "rts").alias("bucket"),
+                            F.col("rts").alias("ts"),
+                            F.lit(None).cast(ev.schema["event_id"].dataType)
+                             .alias("event_id"),
+                            "rate", F.lit(0).alias("kind"))))
+    w = (Window.partitionBy("bucket").orderBy("ts", "kind", "rate")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = u.withColumn("r_in", F.last("rate", ignorenulls=True).over(w))
+
+    # carry: last rate of strictly-earlier buckets; the per-bucket table is
+    # one row per bucket (tiny at any corpus size), so the global-order
+    # window and the broadcast are both safe
+    last_per_bucket = (rates
+                       .groupBy(F.date_trunc("day", "rts").alias("bucket"))
+                       .agg(F.max_by("rate", "rts").alias("bucket_last")))
+    all_buckets = u.select("bucket").distinct()
+    wc = (Window.orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (all_buckets
+             .join(last_per_bucket, "bucket", "left")
+             .withColumn("carry",
+                         F.last("bucket_last", ignorenulls=True).over(wc))
+             .select("bucket", "carry"))
+
+    return (within.where(F.col("kind") == 1)
+                  .join(F.broadcast(carry), "bucket", "left")
+                  .select(F.col("event_id").cast("long").alias("event_id"),
+                          F.coalesce("r_in", "carry").cast("long")
+                           .alias("rate")))
 
 
 SQL_ASOF_JOIN_EVENT_RATES = """
@@ -1031,6 +1175,36 @@ def ann_lsh_buckets(spark, sf):
              .where(F.col("n_vecs") > 1))
 
 
+def ann_lsh_candidate_pairs(spark, sf,
+                            bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """The candidate-generation step of the LSH ANN scale path: vectors
+    sharing a sign-bucket become pairs for exact-cosine verification.
+    Oversized buckets (degenerate corpora: zero vectors, mass duplicates)
+    are dropped before the self-join so fan-out stays bounded at
+    cap*(cap-1)/2 per bucket.  Not in the oracle registry (the bucketing
+    itself is checked by ann_lsh_buckets); covered by
+    tests/test_bucket_caps.py."""
+    e = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    bits = [
+        F.when(F.expr(
+            f"aggregate(zip_with(v, {_W_SPARK.format(k=k)}, "
+            f"(x, w) -> x * w), 0D, (acc, x) -> acc + x)") >= 0,
+            "1").otherwise("0")
+        for k in range(_LSH_PLANES)]
+    buckets = _cap_buckets(
+        e.select("vec_id", F.concat(*bits).alias("bucket")),
+        "bucket", bucket_cap)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"))
+             .distinct())
+
+
 def _sql_ann_lsh() -> str:
     bits = " || ".join(
         f"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
@@ -1062,6 +1236,8 @@ REGISTRY: dict[str, tuple] = {
     "syslog_enrich_names": (syslog_enrich_names, SQL_SYSLOG_ENRICH_NAMES),
     "syslog_route_counts": (syslog_route_counts, SQL_SYSLOG_ROUTE_COUNTS),
     "syslog_hourly_agg": (syslog_hourly_agg, SQL_SYSLOG_HOURLY_AGG),
+    "syslog_streaming_hourly": (syslog_streaming_hourly,
+                                SQL_SYSLOG_HOURLY_AGG),
     "syslog_error_taxonomy": (syslog_error_taxonomy,
                               SQL_SYSLOG_ERROR_TAXONOMY),
     "syslog_token_roundtrip": (syslog_token_roundtrip,

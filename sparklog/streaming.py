@@ -53,16 +53,23 @@ def streaming_hourly_counts(stream: DataFrame,
 
 def start_streaming_job(spark: SparkSession, src_dir: str, out_dir: str,
                         checkpoint: str, cfg: ParseConfig | None = None):
-    """Fan-out sink writer via foreachBatch: per-epoch idempotent writes
-    partitioned by (rfc, sink_class), checkpointed for resume."""
+    """Fan-out sink writer via foreachBatch: exactly-once-per-epoch writes
+    partitioned by (epoch, rfc, sink_class), checkpointed for resume.
+
+    Idempotence: each epoch writes under its own epoch=<id> partition with
+    dynamic-partition OVERWRITE, so a failure between a partial write and
+    the checkpoint commit is repaired by the replay overwriting exactly
+    that epoch's partitions (a blind append would duplicate rows)."""
     from .enrich import enrich
 
     parsed = with_route_columns(
         enrich(parse_stage(read_token_stream(spark, src_dir), cfg), spark))
 
     def write_epoch(df: DataFrame, epoch_id: int) -> None:
-        (df.write.mode("append")
-           .partitionBy("rfc", "sink_class")
+        (df.withColumn("epoch", F.lit(epoch_id))
+           .write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy("epoch", "rfc", "sink_class")
            .parquet(f"{out_dir}/sinks"))
 
     return (parsed.writeStream
@@ -70,3 +77,24 @@ def start_streaming_job(spark: SparkSession, src_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def run_streaming_hourly_batch(spark: SparkSession, tokens_dir: str,
+                               checkpoint: str,
+                               cfg: ParseConfig | None = None,
+                               name: str = "streaming_hourly_sink"):
+    """Run the availableNow hourly-counts stream to completion and return
+    the final windowed counts as a batch DataFrame (complete-mode memory
+    sink, so windows still open at end-of-stream are included — the batch
+    oracle sees every hour)."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (streaming_hourly_counts(read_token_stream(spark, tokens_dir), cfg)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

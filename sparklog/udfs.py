@@ -460,7 +460,11 @@ def detect_rfc_col(raw_col: str = "raw"):
     p = F.instr(head, ">")  # 0 when absent
     after = F.substring(F.col(raw_col), p + 1, 1)
     return (
-        F.when(F.length(raw_col) == 0, F.lit(0))
+        # null input -> UNKNOWN, matching detect_rfc_arrow (without this,
+        # every when() below is NULL on null input and the chain would
+        # fall through to the 3164 otherwise())
+        F.when(F.col(raw_col).isNull(), F.lit(0))
+        .when(F.length(raw_col) == 0, F.lit(0))
         # no '>' in the scan window: v=0 quirk -> 5424 for full windows,
         # UNKNOWN (reference panic) for short buffers
         .when((p == 0) & (F.length(raw_col) >= 10), F.lit(RFC_5424))

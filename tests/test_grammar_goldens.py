@@ -70,6 +70,39 @@ def test_g19_header_len():
     assert len(start) == 139
 
 
+def test_go_layout_timestamp_format():
+    """The reference's WithTimestampFormat golden
+    (rfc3164/rfc3164_test.go:209-239) with the Go layout string passed
+    VERBATIM — the shim must translate it, no strptime knowledge needed."""
+    raw = pd.Series(["<30>2006-01-02T15:04:05 localhost foo: "
+                     "Selected source 192.168.65.1"])
+    cfg = ParseConfig(ts_format="2006-01-02T15:04:05")
+    row = parse_rfc3164(raw, cfg).iloc[0]
+    assert row["parse_error"] is None
+    assert row["ts"] == pd.Timestamp("2006-01-02T15:04:05")
+    assert row["hostname"] == "localhost"
+    assert row["tag"] == "foo"
+    assert row["content"] == "Selected source 192.168.65.1"
+    assert row["priority"] == 30 and row["facility"] == 3
+    assert row["severity"] == 6
+
+
+def test_go_layout_translator_units():
+    from sparklog.grammar import go_layout_to_strptime
+
+    assert go_layout_to_strptime("2006-01-02T15:04:05") == \
+        "%Y-%m-%dT%H:%M:%S"
+    assert go_layout_to_strptime("Jan 02 15:04:05") == "%b %d %H:%M:%S"
+    assert go_layout_to_strptime("06/01/02 03:04:05 PM -0700") == \
+        "%y/%m/%d %I:%M:%S %p %z"
+    assert go_layout_to_strptime("2006-01-02T15:04:05.000-07:00") == \
+        "%Y-%m-%dT%H:%M:%S.%f%z"
+    with pytest.raises(ValueError):
+        go_layout_to_strptime("Jan _2 15:04:05")   # variable width
+    with pytest.raises(ValueError):
+        go_layout_to_strptime("January 2, 2006")
+
+
 def test_all_goldens_vectorized_batch():
     """All no-config goldens in ONE column pass (the UDF path shape)."""
     rows3 = [c for c in fixtures.GOLDEN_VALID

@@ -70,7 +70,11 @@ def test_query_plans_single_udf(spark):
     from sparklog.queries import REGISTRY
 
     for name, (fn, _sql) in REGISTRY.items():
-        if not name.startswith("syslog_") or name == "syslog_token_roundtrip":
+        if (not name.startswith("syslog_")
+                or name in ("syslog_token_roundtrip",
+                            # returns a memory-sink read: the parse's map
+                            # barrier ran inside the streaming query
+                            "syslog_streaming_hourly")):
             continue
         df = fn(spark, "/root/testdata/sf0.001")
         assert _plan(df).count("MapInArrow") == 1, name
