@@ -53,7 +53,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = REGISTRY[name][0]
         best = float("inf")
-        for _ in range(2):  # best-of-2: host timing variance is ~2-6x
+        for _ in range(3):  # best-of-3: host timing variance is ~2-6x
             t0 = time.time()
             _force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
@@ -75,7 +75,7 @@ def main() -> None:
     routed = salted_repartition(
         with_route_columns(enrich(parse_stage(src), spark)), 64)
     pipe_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         _force(routed)
         pipe_sec = min(pipe_sec, time.time() - t0)

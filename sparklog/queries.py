@@ -81,7 +81,7 @@ def _parse_lines(spark: SparkSession, src: DataFrame) -> DataFrame:
 
     fn = make_map_in_arrow_parser(
         passthrough=tuple(src.columns), input_col="raw", input_kind="raw",
-        out_prefix="p_")
+        out_prefix="p_", emit_raw=False)
     schema = T.StructType(
         list(src.schema.fields)
         + [T.StructField("rfc", T.IntegerType())]
@@ -1205,6 +1205,79 @@ def ann_lsh_candidate_pairs(spark, sf,
              .distinct())
 
 
+_DUP_OFFSET = 1_000_000  # planted-duplicate id namespace
+
+
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (cosine >= 0.99): candidates from
+    the 8-bit hyperplane LSH sign buckets (capped), verified with exact
+    cosine.  The synthetic embeddings table is random (max pairwise cosine
+    ~0.6), so each vector is unioned with an exact duplicate under
+    vec_id + 1e6 — deterministically in BOTH engines — giving the path
+    known true pairs to find.  Identical vectors share every sign bit, so
+    LSH recall on the planted pairs is exactly 1, and the O(N^2)
+    brute-force oracle must agree pair-for-pair.  Shuffle keys: bucket,
+    then pair ids — candidate verification never materializes O(N^2)."""
+    e = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    aug = e.unionByName(
+        e.select((F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "v"))
+
+    bits = [
+        F.when(F.expr(
+            f"aggregate(zip_with(v, {_W_SPARK.format(k=k)}, "
+            f"(x, w) -> x * w), 0D, (acc, x) -> acc + x)") >= 0,
+            "1").otherwise("0")
+        for k in range(_LSH_PLANES)]
+    buckets = _cap_buckets(
+        aug.select("vec_id", F.concat(*bits).alias("bucket")),
+        "bucket", LSH_BUCKET_CAP)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"))
+             .distinct())
+
+    va = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, "
+                 "(acc, x) -> acc + x)")
+    na = F.expr("sqrt(aggregate(transform(va, x -> x * x), 0D, "
+                "(acc, x) -> acc + x))")
+    nb = F.expr("sqrt(aggregate(transform(vb, x -> x * x), 0D, "
+                "(acc, x) -> acc + x))")
+    cos = F.round(dot / (na * nb), 4)
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+                .select("vec_a", "vec_b", cos.alias("cosine"))
+                .where(F.col("cosine") >= 0.99))
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {_DUP_OFFSET}, v FROM base
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                     i -> a.v[i] * b.v[i])) /
+             (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+              sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                    i -> a.v[i] * b.v[i])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) >= 0.99
+"""
+
+
 def _sql_ann_lsh() -> str:
     bits = " || ".join(
         f"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
@@ -1277,4 +1350,6 @@ REGISTRY: dict[str, tuple] = {
     "datetime_funcs_showcase": (datetime_funcs_showcase,
                                 SQL_DATETIME_FUNCS_SHOWCASE),
     "ann_lsh_buckets": (ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "dedup_embedding_cosine": (dedup_embedding_cosine,
+                               SQL_DEDUP_EMBEDDING_COSINE),
 }

@@ -51,15 +51,23 @@ def write_sinks(df: DataFrame, out_dir: str, num_partitions: int = 32,
 
 def audit_token_equality(routed: DataFrame, source: DataFrame) -> int:
     """North-rule invariant: every routed row's token array equals its
-    source row's.  One full-outer join on doc_id computes mismatched,
-    dropped (source-only), and extra (routed-only) rows together — a
-    single shuffle of each side instead of the three a separate
-    inner+2x-anti formulation costs.  Returns the violation count
+    source row's.  The routed side carries the decoded ``raw`` string (the
+    token array never crosses the Arrow boundary outbound — see
+    parse_stage); the source side is decoded by a string-only mapInArrow
+    pass.  Because the token codec is bijective (codepoint<->int), string
+    equality IS token-array equality.  One full-outer join on doc_id
+    computes mismatched, dropped (source-only), and extra (routed-only)
+    rows together — a single shuffle of each side instead of the three a
+    separate inner+2x-anti formulation costs.  Returns the violation count
     (must be 0)."""
-    r = routed.select("doc_id", F.col("tokens").alias("routed_tokens"))
-    s = source.select("doc_id", F.col("tokens").alias("src_tokens"))
+    from .udfs import DECODED_SCHEMA, make_decoder_fn
+
+    r = routed.select("doc_id", F.col("raw").alias("routed_raw"))
+    s = (source.select("doc_id", "tokens")
+               .mapInArrow(make_decoder_fn(), DECODED_SCHEMA)
+               .select("doc_id", F.col("raw").alias("src_raw")))
     j = r.join(s, "doc_id", "full_outer")
-    violation = (F.col("routed_tokens").isNull()        # dropped
-                 | F.col("src_tokens").isNull()         # extra
-                 | ~(F.col("routed_tokens") == F.col("src_tokens")))
+    violation = (F.col("routed_raw").isNull()           # dropped
+                 | F.col("src_raw").isNull()            # extra
+                 | ~(F.col("routed_raw") == F.col("src_raw")))
     return j.where(violation).count()

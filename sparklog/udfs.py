@@ -350,17 +350,26 @@ def _slow_col_to_pa(series: pd.Series, typ):
 
 
 def make_map_in_arrow_parser(cfg: ParseConfig | None = None,
-                             passthrough=("doc_id", "source", "tokens"),
+                             passthrough=("doc_id", "source"),
                              input_col: str = "tokens",
                              input_kind: str = "tokens",
-                             out_prefix: str = ""):
+                             out_prefix: str = "",
+                             emit_raw: bool = True):
     """Batch function for DataFrame.mapInArrow: passthrough columns ride
     along untouched (same Arrow buffers); decode+detect+parse append the
     rfc + parsed columns.  Compared to the pandas UDF this skips the
     arrow->pandas conversion of the token list column (65k ndarray
     allocations per batch) on input, and — being a map barrier — can never
     be duplicated by filter pushdown the way struct-field references to a
-    pandas UDF can."""
+    pandas UDF can.
+
+    The token ARRAY column must never appear in the OUTPUT batch: shipping
+    array<int> back across the Arrow boundary costs 10-20x the parse
+    itself (measured 17-23s vs 0.6-2.8s per 400k rows at local[32]) and
+    bloats the JVM with list-array allocations.  Instead the decoded line
+    is emitted as a plain string column (``emit_raw``) — the codec is
+    bijective, so downstream equality audits on the string are exactly the
+    token-array invariant."""
     import pyarrow as pa
 
     cfg = cfg or ParseConfig()
@@ -386,8 +395,11 @@ def make_map_in_arrow_parser(cfg: ParseConfig | None = None,
             rfc = detect_rfc_arrow(arr)
             arrays = [b.column(b.schema.get_field_index(c))
                       for c in passthrough]
-            names = (list(passthrough) + ["rfc"]
-                     + [f"{out_prefix}{c}" for c in _OUTPUT_COLUMNS])
+            names = list(passthrough)
+            if emit_raw:
+                arrays.append(arr)
+                names.append("raw")
+            names += ["rfc"] + [f"{out_prefix}{c}" for c in _OUTPUT_COLUMNS]
             arrays.append(pa.array(rfc, pa.int32()))
 
             out_arrow = parse_batch_arrow(arr, rfc, cfg)
@@ -429,8 +441,31 @@ def make_map_in_arrow_parser(cfg: ParseConfig | None = None,
 MAP_IN_ARROW_SCHEMA = T.StructType(
     [T.StructField("doc_id", T.StringType()),
      T.StructField("source", T.StringType()),
-     T.StructField("tokens", T.ArrayType(T.IntegerType()))]
+     T.StructField("raw", T.StringType())]
     + PARSED_SCHEMA_TOKENS.fields)
+
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("raw", T.StringType()),
+])
+
+
+def make_decoder_fn(input_col: str = "tokens"):
+    """mapInArrow batch fn: tokens -> (doc_id, raw) only, for the audit's
+    source side (input-side token arrays are cheap; it is the OUTPUT side
+    that must stay string-only)."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            col = b.column(b.schema.get_field_index(input_col))
+            arr = _string_from_token_list(col)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("doc_id")), arr],
+                names=["doc_id", "raw"])
+
+    return fn
 
 
 def make_parse_from_tokens_udf(cfg: ParseConfig | None = None):

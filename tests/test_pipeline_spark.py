@@ -122,7 +122,7 @@ def test_resume_after_kill_is_idempotent(spark, tmp_path):
     def sink_digest(d):
         rows = (spark.read.parquet(os.path.join(d, "sinks"))
                 .select("doc_id", "priority", "severity", "sink_class",
-                        F.hash("tokens").alias("th"))
+                        F.hash("raw").alias("th"))
                 .orderBy("doc_id").collect())
         return [tuple(r) for r in rows]
 
@@ -150,7 +150,7 @@ def test_pandas_udf_variant_matches_mapinarrow(spark, tmp_path):
     fixtures.write_tokens_table(spark, fixtures.synth_lines(800, seed=21),
                                 src_path, n_partitions=2)
     src = spark.read.parquet(src_path)
-    a = parse_stage(src).drop("tokens")
+    a = parse_stage(src).drop("raw")
     udf = make_parse_from_tokens_udf()
     b = (src.withColumn("parsed", udf(F.col("tokens")))
             .select("doc_id", "source",
