@@ -45,7 +45,7 @@ def parse_lines(df, col: str = "raw",
 
     fn = make_map_in_arrow_parser(
         cfg, passthrough=tuple(df.columns), input_col=col,
-        input_kind="raw", out_prefix="p_")
+        input_kind="raw", out_prefix="p_", emit_raw=False)
     schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("rfc", T.IntegerType())]
@@ -57,17 +57,22 @@ def parse_lines(df, col: str = "raw",
 def parse_tokens(df, col: str = "tokens",
                  cfg: ParseConfig | None = None):
     """Spark DataFrame with a pre-tokenized array<int> column -> parsed
-    columns (the pipeline's native input shape)."""
+    columns (the pipeline's native input shape).  The token array itself
+    is NOT echoed to the output — shipping array<int> back across the
+    Arrow boundary costs 10-20x the parse (see udfs.py); the decoded line
+    comes back as a ``raw`` string column instead."""
     from pyspark.sql import types as T
 
     from .udfs import PARSED_SCHEMA, make_map_in_arrow_parser
 
+    keep = tuple(c for c in df.columns if c != col)
     fn = make_map_in_arrow_parser(
-        cfg, passthrough=tuple(df.columns), input_col=col,
+        cfg, passthrough=keep, input_col=col,
         input_kind="tokens", out_prefix="p_")
     schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("rfc", T.IntegerType())]
+        [f for f in df.schema.fields if f.name != col]
+        + [T.StructField("raw", T.StringType()),
+           T.StructField("rfc", T.IntegerType())]
         + [T.StructField(f"p_{f.name}", f.dataType)
            for f in PARSED_SCHEMA.fields])
     return df.mapInArrow(fn, schema)

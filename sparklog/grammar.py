@@ -699,9 +699,41 @@ def detect_rfc_arrow(arr) -> np.ndarray:
 
     Buffers the reference would panic on (<10 bytes without '>', or '>' as
     the last byte) report UNKNOWN here.
+
+    All-ASCII batches (the hot path; checked once per batch) classify via
+    numpy byte gathers on the Arrow buffers — ~10x cheaper than the regex
+    formulation, which is kept for batches with multi-byte text where the
+    codepoint-window semantics need real UTF-8 walking.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if (len(arr) and arr.offset == 0 and arr.null_count == 0
+            and arr.type == pa.string()):
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        if len(data) == 0 or data.max() < 0x80:
+            offs = np.frombuffer(arr.buffers()[1], np.int32)
+            starts = offs[:-1].astype(np.int64)
+            lens = offs[1:].astype(np.int64) - starts
+            j = np.arange(10, dtype=np.int64)
+            idx = starts[:, None] + j[None, :]
+            safe = np.minimum(idx, max(len(data) - 1, 0))
+            win = np.where(j[None, :] < lens[:, None],
+                           data[safe] if len(data) else 0, 0)
+            eq = win == ord(">")
+            has = eq.any(axis=1)
+            p = eq.argmax(axis=1)
+            out = np.full(len(arr), RFC_UNKNOWN, dtype=np.int64)
+            out[~has & (lens >= 10)] = RFC_5424      # latent v=0 quirk
+            after_ok = has & (p <= 8) & (p + 1 < lens)
+            nxt = np.where(j[None, :] == (p[:, None] + 1), win, 0
+                           ).max(axis=1)
+            digit = (nxt >= ord("0")) & (nxt <= ord("9"))
+            out[after_ok & digit] = RFC_5424
+            out[after_ok & ~digit] = RFC_3164
+            return out
 
     head = pc.utf8_slice_codeunits(arr, 0, 10)
     p_gt = pc.find_substring(head, ">").to_numpy(zero_copy_only=False)
