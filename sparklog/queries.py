@@ -343,6 +343,41 @@ def syslog_streaming_hourly(spark, sf):
         F.col("n_events").cast("long").alias("n_events"))
 
 
+def streaming_user_state(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    per-user running aggregate across multiple file-source epochs must
+    equal the batch GROUP BY — order-insensitive monotone state makes the
+    final emission exact regardless of epoch split."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .streaming import run_user_state_batch
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    ev_dir = f"/tmp/sparklog_stream_events_{tag}"
+    if not os.path.exists(os.path.join(ev_dir, "_SUCCESS")):
+        (_t(spark, sf, "events").repartition(4)
+         .write.mode("overwrite").parquet(ev_dir))
+    out = run_user_state_batch(spark, ev_dir,
+                               tempfile.mkdtemp(prefix="slst_"))
+    return out.select(
+        "user_id", "n_events", "n_types",
+        F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"))
+
+
+SQL_STREAMING_USER_STATE = """
+SELECT user_id::BIGINT AS user_id,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT event_type)::BIGINT AS n_types,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events
+GROUP BY 1
+"""
+
+
 def syslog_error_taxonomy(spark, sf):
     """Malformed-line families -> exact parse_error codes (error-as-data)."""
     ev = _t(spark, sf, "events")
@@ -1208,6 +1243,100 @@ def ann_lsh_candidate_pairs(spark, sf,
 _DUP_OFFSET = 1_000_000  # planted-duplicate id namespace
 
 
+_IVF_CELLS = 8
+
+
+def ann_ivf_topk(spark, sf):
+    """IVF-style ANN (the second scale path next to LSH): a deterministic
+    coarse quantizer (centroids = the vectors with vec_id < n_cells, fixed
+    and broadcastable like a trained codebook) assigns every vector to its
+    nearest cell by cosine; queries search ONLY their own cell.  At scale
+    the cell id is the partition key: the corpus shuffles once by cell and
+    each probe touches 1/n_cells of it.  Oracle recomputes the same
+    quantizer + within-cell ranking in SQL."""
+    e = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    cents = (e.where(F.col("vec_id") < _IVF_CELLS)
+              .select(F.col("vec_id").alias("cell"),
+                      F.col("v").alias("cv")))
+
+    def _cos(a, b):
+        dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
+                     f"(acc, x) -> acc + x)")
+        na = F.expr(f"sqrt(aggregate(transform({a}, x -> x * x), 0D, "
+                    f"(acc, x) -> acc + x))")
+        nb = F.expr(f"sqrt(aggregate(transform({b}, x -> x * x), 0D, "
+                    f"(acc, x) -> acc + x))")
+        return dot / (na * nb)
+
+    # assign: argmax cosine over the broadcast codebook (rounded, cell-id
+    # tiebreak, so both engines pick identical cells)
+    wa = (Window.partitionBy("vec_id")
+                .orderBy(F.col("c").desc(), F.col("cell").asc()))
+    assigned = (e.join(F.broadcast(cents))
+                 .select("vec_id", "v", "cell",
+                         F.round(_cos("v", "cv"), 6).alias("c"))
+                 .withColumn("rn", F.row_number().over(wa))
+                 .where(F.col("rn") == 1)
+                 .select("vec_id", "v", "cell"))
+
+    q = (assigned.where(F.col("vec_id") >= _IVF_CELLS)
+                 .where(F.col("vec_id") < _IVF_CELLS + 20)
+                 .select(F.col("vec_id").alias("query_id"),
+                         F.col("v").alias("qv"), "cell"))
+    c = (assigned.where(F.col("vec_id") >= _IVF_CELLS + 20)
+                 .select(F.col("vec_id").alias("neighbor_id"), "v", "cell"))
+    scored = (c.join(F.broadcast(q), "cell")
+               .select("query_id", "neighbor_id",
+                       F.round(_cos("qv", "v"), 4).alias("cosine")))
+    wr = (Window.partitionBy("query_id")
+                .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+                  .where(F.col("rank") <= 3))
+
+
+def _sql_ann_ivf() -> str:
+    cos = ("round(list_sum(list_transform(generate_series(1, len({a})), "
+           "i -> {a}[i] * {b}[i])) / "
+           "(sqrt(list_sum(list_transform({a}, x -> x*x))) * "
+           "sqrt(list_sum(list_transform({b}, x -> x*x)))), {r})")
+    return f"""
+WITH e AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='c.cv', r=6)} DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM assigned
+  WHERE vec_id >= {_IVF_CELLS} AND vec_id < {_IVF_CELLS + 20}
+), c AS (
+  SELECT vec_id AS neighbor_id, v, cell FROM assigned
+  WHERE vec_id >= {_IVF_CELLS + 20}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.query_id, c.neighbor_id,
+         {cos.format(a='q.qv', b='c.v', r=4)} AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY {cos.format(a='q.qv', b='c.v', r=4)} DESC,
+                    c.neighbor_id ASC)::BIGINT AS rank
+  FROM q JOIN c ON q.cell = c.cell
+) WHERE rank <= 3
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf()
+
+
 def dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup pairs (cosine >= 0.99): candidates from
     the 8-bit hyperplane LSH sign buckets (capped), verified with exact
@@ -1311,6 +1440,8 @@ REGISTRY: dict[str, tuple] = {
     "syslog_hourly_agg": (syslog_hourly_agg, SQL_SYSLOG_HOURLY_AGG),
     "syslog_streaming_hourly": (syslog_streaming_hourly,
                                 SQL_SYSLOG_HOURLY_AGG),
+    "streaming_user_state": (streaming_user_state,
+                             SQL_STREAMING_USER_STATE),
     "syslog_error_taxonomy": (syslog_error_taxonomy,
                               SQL_SYSLOG_ERROR_TAXONOMY),
     "syslog_token_roundtrip": (syslog_token_roundtrip,
@@ -1352,4 +1483,5 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh_buckets": (ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "dedup_embedding_cosine": (dedup_embedding_cosine,
                                SQL_DEDUP_EMBEDDING_COSINE),
+    "ann_ivf_topk": (ann_ivf_topk, SQL_ANN_IVF_TOPK),
 }

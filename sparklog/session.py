@@ -23,10 +23,16 @@ def get_spark(master: str | None = None, app: str = "sparklog",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Arrow batch sizing is a MEMORY knob, not just an amortization
+        # knob: 65k-row batches of token arrays put ~20MB per in-flight
+        # task each direction, and at 32 concurrent tasks the JVM hits
+        # direct-memory/GC stalls (measured 132s vs 5-10s for the same 6M-
+        # row parse at 8k batches).  8k rows amortizes the Python roundtrip
+        # fine (~2us/row compute) while keeping in-flight memory bounded.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
-                os.environ.get("SPARKLOG_DRIVER_MEM", "16g"))
+                os.environ.get("SPARKLOG_DRIVER_MEM", "48g"))
         # local-mode shuffle through one shared disk caps multi-core
         # scaling; tmpfs restores the per-node shuffle locality a real
         # cluster has (each executor spills to its own local disks)

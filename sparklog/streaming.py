@@ -79,6 +79,86 @@ def start_streaming_job(spark: SparkSession, src_dir: str, out_dir: str,
             .start())
 
 
+def user_state_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (n_events, distinct event types, ts range) across epochs.
+    Every aggregate is order-insensitive and monotone, so the FINAL
+    emission per user is exact whatever order the file source feeds
+    epochs — that is what makes this state op oracle-checkable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("min_ts", T.TimestampType()),
+        T.StructField("max_ts", T.TimestampType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("types", T.ArrayType(T.StringType())),
+        T.StructField("mn", T.LongType()),   # epoch micros
+        T.StructField("mx", T.LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        n, types, mn, mx = 0, set(), None, None
+        if state.exists:
+            n, tlist, mn, mx = state.get
+            types = set(tlist)
+        for pdf in pdfs:
+            n += len(pdf)
+            types |= set(pdf["event_type"])
+            ts = pdf["ts"].astype("datetime64[us]").astype("int64")
+            lo, hi = int(ts.min()), int(ts.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        state.update((n, sorted(types), mn, mx))
+        yield pd.DataFrame({
+            "user_id": [int(key[0])],
+            "n_events": [n],
+            "n_types": [len(types)],
+            "min_ts": [pd.Timestamp(mn, unit="us")],
+            "max_ts": [pd.Timestamp(mx, unit="us")],
+        })
+
+    return (stream
+            .groupBy(F.col("user_id").cast("long").alias("user_id"))
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def run_user_state_batch(spark: SparkSession, events_dir: str,
+                         checkpoint: str,
+                         name: str = "user_state_sink") -> DataFrame:
+    """availableNow run of the stateful per-user aggregate; the update-mode
+    memory sink accumulates one row per (user, epoch-with-changes), and the
+    final (max n_events) row per user is the complete aggregate."""
+    from pyspark.sql.window import Window
+
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(events_dir))
+    q = (user_state_stream(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (spark.table(name)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn"))
+
+
 def run_streaming_hourly_batch(spark: SparkSession, tokens_dir: str,
                                checkpoint: str,
                                cfg: ParseConfig | None = None,
