@@ -569,6 +569,11 @@ GROUP BY 1 HAVING count(*) > 1
 
 # NB: Spark sequence(a, b) goes DESCENDING when a > b, so short docs need an
 # explicit empty-array guard rather than a greatest() clamp.
+#
+# PERF: always materialize the words array in its own projection
+# (_with_shingles below) before referencing it from the transform lambda —
+# an inlined split(text) gets re-evaluated per element_at call per shingle
+# (measured 4.2s -> 0.6s for the sf0.1 explode).
 _SHINGLES_SPARK = (
     "array_distinct(case when size({w}) < 3 then array() "
     "else transform(sequence(1, size({w}) - 2), "
@@ -580,6 +585,15 @@ _SHINGLES_DUCK = (
     "list_distinct(list_transform(generate_series(1, greatest(len({w}) - 2,"
     " 0)), i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
 )
+
+
+def _with_shingles(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """documents -> (doc_id, *extra_cols, sh) with the words array
+    materialized in its own projection (see PERF note above)."""
+    return (d.withColumn("w", F.split("text", " "))
+             .select(F.col("doc_id").cast("long").alias("doc_id"),
+                     *extra_cols,
+                     F.expr(_SHINGLES_SPARK.format(w="w")).alias("sh")))
 
 
 def dedup_ngram_jaccard(spark, sf):
@@ -597,11 +611,10 @@ def dedup_ngram_jaccard(spark, sf):
     the shuffle keys are (shingle) and (doc_id), never a low-cardinality
     block."""
     t = F.lit(0.8)
-    d = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source",
-        F.expr(_SHINGLES_SPARK.format(w="split(text, ' ')")).alias("sh"))
-    ex = d.select("doc_id", "lang", "source", F.size("sh").alias("nsh"),
-                  F.explode("sh").alias("s"))
+    d = _with_shingles(_t(spark, sf, "documents"), "lang", "source")
+    ex = (d.select("doc_id", "lang", "source", F.size("sh").alias("nsh"),
+                   F.explode_outer("sh").alias("s"))
+           .where(F.col("s").isNotNull()))
     freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     pref = (ex.join(freq, "s")
@@ -664,6 +677,34 @@ def _cap_buckets(df: DataFrame, key: str, cap: int) -> DataFrame:
               .drop("_bn"))
 
 
+# ordered-pair enumeration within one capped bucket: ids sorted ascending,
+# every (x, y) with x before y — the self-join-free LSH candidate shape
+_PAIRS_EXPR = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), "
+    "y -> struct(x AS a, y AS b))))"
+)
+
+
+def _bucket_pairs(keyed: DataFrame, key: str, id_col: str,
+                  cap: int) -> DataFrame:
+    """(key, id) rows -> distinct candidate pairs (a < b) per key group,
+    dropping groups over the cap.  ONE aggregation subtree, no self-join:
+    a band self-join re-executes its whole upstream plan per side, while
+    collect_list + in-array pair enumeration computes it once; the cap
+    bounds both list size and pair fan-out (cap*(cap-1)/2 per bucket)."""
+    # window-count pre-cap BEFORE collecting: an over-cap bucket must never
+    # materialize its id list in the agg buffer (the window shares the
+    # groupBy's hash exchange, so this adds no extra shuffle)
+    capped = _cap_buckets(keyed, key, cap)
+    grouped = (capped.groupBy(key)
+                     .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
+    return (grouped.where(F.size("ids") >= 2)
+                   .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+                   .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                   .distinct())
+
+
 def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
     """MinHash+LSH candidate pairs: 4 min-hashes over word 3-grams derived
     from ONE md5 per shingle (8-hex-char substrings of the digest), banded
@@ -676,31 +717,25 @@ def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
     min-agg: shingles are computed ONCE, and the explode/agg shape is the
     one that scales — the shuffle key is doc_id and partial min-agg
     combines map-side.  Oversized band buckets are dropped (bucket_cap)."""
-    w = "split(text, ' ')"
-    sh = _SHINGLES_SPARK.format(w=w)
-    d = _t(spark, sf, "documents")
-    exploded = (d.where(F.expr(f"size({w}) >= 3"))
-                 .select(F.col("doc_id").cast("long").alias("doc_id"),
-                         F.explode(F.expr(sh)).alias("s"))
-                 .select("doc_id", F.md5("s").alias("h")))
+    # explode_outer + post-filter: a plain explode makes Catalyst infer a
+    # size(sh)>0 filter and push it BELOW the words projection, re-inlining
+    # the shingle lambda over split(text) per element (measured 7x cost)
+    exploded = (_with_shingles(_t(spark, sf, "documents"))
+                .select("doc_id", F.explode_outer("sh").alias("s"))
+                .where(F.col("s").isNotNull())
+                .select("doc_id", F.md5("s").alias("h")))
     sigs = (exploded
             .groupBy("doc_id")
             .agg(*[F.min(F.substring("h", 1 + 8 * k, 8)).alias(f"h{k}")
                    for k in range(4)]))
     bands = sigs.select(
         "doc_id",
-        F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1").alias("band"),
-    ).union(sigs.select(
-        "doc_id",
-        F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3").alias("band")))
-    bands = _cap_buckets(bands, "band", bucket_cap)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
+        F.explode(F.array(
+            F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1"),
+            F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
+    pairs = _bucket_pairs(bands, "band", "doc_id", bucket_cap)
+    return pairs.select(F.col("a").alias("doc_a"),
+                        F.col("b").alias("doc_b"))
 
 
 def _sql_minhash() -> str:
@@ -901,13 +936,10 @@ def dedup_simhash(spark, sf):
     each md5 hex nibble, majority-voted across word-3-gram shingles.  Hex
     chars '8'..'f' sort above '7', so the nibble top bit is a plain string
     comparison — portable across engines."""
-    w = "split(text, ' ')"
-    sh = _SHINGLES_SPARK.format(w=w)
-    d = _t(spark, sf, "documents")
-    exploded = (d.where(F.expr(f"size({w}) >= 3"))
-                 .select(F.col("doc_id").cast("long").alias("doc_id"),
-                         F.explode(F.expr(sh)).alias("s"))
-                 .select("doc_id", F.md5("s").alias("h")))
+    exploded = (_with_shingles(_t(spark, sf, "documents"))
+                .select("doc_id", F.explode_outer("sh").alias("s"))
+                .where(F.col("s").isNotNull())
+                .select("doc_id", F.md5("s").alias("h")))
     votes = [F.sum(F.when(F.substring("h", p + 1, 1) >= "8", 1)
                     .otherwise(-1)).alias(f"v{p}") for p in range(16)]
     sig = exploded.groupBy("doc_id").agg(*votes)
@@ -1228,16 +1260,9 @@ def ann_lsh_candidate_pairs(spark, sf,
             f"(x, w) -> x * w), 0D, (acc, x) -> acc + x)") >= 0,
             "1").otherwise("0")
         for k in range(_LSH_PLANES)]
-    buckets = _cap_buckets(
-        e.select("vec_id", F.concat(*bits).alias("bucket")),
-        "bucket", bucket_cap)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .select(F.col("a.vec_id").alias("vec_a"),
-                     F.col("b.vec_id").alias("vec_b"))
-             .distinct())
+    buckets = e.select("vec_id", F.concat(*bits).alias("bucket"))
+    return (_bucket_pairs(buckets, "bucket", "vec_id", bucket_cap)
+            .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b")))
 
 
 _DUP_OFFSET = 1_000_000  # planted-duplicate id namespace
@@ -1359,16 +1384,9 @@ def dedup_embedding_cosine(spark, sf):
             f"(x, w) -> x * w), 0D, (acc, x) -> acc + x)") >= 0,
             "1").otherwise("0")
         for k in range(_LSH_PLANES)]
-    buckets = _cap_buckets(
-        aug.select("vec_id", F.concat(*bits).alias("bucket")),
-        "bucket", LSH_BUCKET_CAP)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .select(F.col("a.vec_id").alias("vec_a"),
-                     F.col("b.vec_id").alias("vec_b"))
-             .distinct())
+    buckets = aug.select("vec_id", F.concat(*bits).alias("bucket"))
+    cand = (_bucket_pairs(buckets, "bucket", "vec_id", LSH_BUCKET_CAP)
+            .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b")))
 
     va = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
