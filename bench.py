@@ -26,7 +26,10 @@ HEADLINE = [
     "window_topk_orders",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "asof_join_event_rates",
     "text_quality_scores",
 ]
 
