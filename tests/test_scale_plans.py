@@ -1,0 +1,94 @@
+"""Plan-shape regression guards for the round-2 scale fixes: these assert
+properties of the PHYSICAL plan, because the failure modes they guard
+(duplicated scan subtrees, row-exploding joins) are invisible to
+correctness tests at small SF.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_minhash_scans_documents_once(spark):
+    """The LSH candidate generation must execute its scan+explode+agg
+    subtree exactly once (the band self-join formulation ran it 4x)."""
+    from sparklog.queries import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, SF))
+    # one 'Location:' detail line per physical scan node
+    assert plan.count("Location:") == 1, plan
+
+
+def test_minhash_no_pushed_down_shingle_filter(spark):
+    """Catalyst must not re-inline the shingle lambda below the words
+    projection (an inferred explode filter did, re-evaluating split(text)
+    per element_at call — 7x the query cost)."""
+    from sparklog.queries import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, SF))
+    scan_filters = [ln for ln in plan.splitlines()
+                    if "Condition" in ln and "split(text" in ln]
+    assert not scan_filters, scan_filters
+
+
+def test_asof_join_no_range_join(spark):
+    """The as-of join must not contain a non-equi (range) join: the old
+    broadcast-range-join formulation exploded O(N*R) rows."""
+    from sparklog.queries import asof_join_event_rates
+
+    plan = _plan(asof_join_event_rates(spark, SF))
+    assert "NestedLoopJoin" not in plan, plan
+    # every join must be a pure equi-join (the old formulation carried the
+    # rts <= ts range predicate as a join condition)
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Join condition:"):
+            assert "<=" not in ln and ">=" not in ln, ln
+
+
+def test_ngram_jaccard_no_block_self_join(spark):
+    """Candidates must come from the shingle prefix join, never from a
+    self-join keyed only on the fixed-cardinality (lang, source) block."""
+    from sparklog.queries import dedup_ngram_jaccard
+
+    plan = _plan(dedup_ngram_jaccard(spark, SF))
+    join_keys = [ln for ln in plan.splitlines() if "keys" in ln.lower()]
+    # every equi-join must involve a shingle or doc key, not lang/source
+    for ln in join_keys:
+        if "lang" in ln:
+            assert ("s#" in ln) or ("doc" in ln), ln
+
+
+def test_detect_byte_branch_equals_regex_branch():
+    """The ASCII byte-gather detect branch must agree with the regex
+    branch on every tricky boundary case (poisoning the batch with one
+    non-ASCII row forces the regex branch)."""
+    from sparklog.grammar import detect_rfc_arrow
+
+    cases = ["", "<", ">", "<>", "<34>", "x" * 9, "x" * 10,
+             "123456789>", "12345678>x", "12345678>5", "<34>x",
+             "<165>1 rest", "<1>5424 style", ">" * 12, "<<<<<<<<<<>",
+             "abcdefghi>", "abcdefgh>1", "<999>Oct 11", "\x00<34>x"]
+    fast = detect_rfc_arrow(pa.array(cases, pa.string()))
+    slow = detect_rfc_arrow(pa.array(cases + ["€"], pa.string()))[:-1]
+    assert (fast == slow).all(), list(zip(cases, fast, slow))
+
+
+def test_detect_fast_branch_rejected_for_non_ascii():
+    """Multi-byte batches must take the regex branch (codepoint-window
+    semantics differ from byte positions there)."""
+    from sparklog.grammar import RFC_3164, detect_rfc_arrow
+
+    # é is 2 bytes: byte-window and codepoint-window would disagree about
+    # whether '>' is inside the first 10; the regex branch is the spec
+    line = "ééééééééé>x"  # '>' at codepoint 9 -> UNKNOWN per reference
+    out = detect_rfc_arrow(pa.array([line, "<34>Oct 11 x y"], pa.string()))
+    assert out[0] == 0
+    assert out[1] == RFC_3164

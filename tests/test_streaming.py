@@ -78,3 +78,41 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
     q = start_streaming_job(spark, src_dir, out_dir, ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir + "/sinks").count() == 800
+
+
+def test_streaming_epoch_replay_is_exactly_once(spark, tmp_path):
+    """A crash between a (possibly partial) sink write and the checkpoint
+    commit replays the epoch on restart.  Simulated by deleting the last
+    commit marker after a successful run: the replayed epoch must
+    OVERWRITE its epoch=<id> partitions, not append duplicates."""
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    fixtures.write_tokens_table(spark, fixtures.synth_lines(400, seed=4),
+                                src_dir + "/b", n_partitions=1)
+    for f in glob.glob(src_dir + "/b/*.parquet"):
+        os.rename(f, src_dir + "/" + os.path.basename(f))
+    q = start_streaming_job(spark, src_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    sinks = spark.read.parquet(out_dir + "/sinks")
+    assert sinks.count() == 400
+
+    # un-commit the last epoch (the write itself already happened); the
+    # local-FS checksum sidecar must go too or the rewrite trips Hadoop's
+    # stale-CRC check
+    commits = sorted(f for f in os.listdir(ckpt + "/commits")
+                     if not f.startswith("."))
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q = start_streaming_job(spark, src_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    replayed = spark.read.parquet(out_dir + "/sinks")
+    assert replayed.count() == 400                       # no duplicates
+    assert replayed.select("doc_id").distinct().count() == 400
