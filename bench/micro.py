@@ -71,6 +71,17 @@ def main() -> None:
             "rows_per_sec_per_core": round(1e9 / ns),
         }
 
+    # the detect kernel as the engine runs it: Arrow batch in (inside
+    # mapInArrow the batch is already Arrow — no conversion cost)
+    arr_d = pa.array([MSG_DETECT] * n, pa.string())
+    detect_rfc_arrow(arr_d)  # warm
+    ns = bench(detect_rfc_arrow, arr_d)
+    out["detect_arrow"] = {
+        "ns_per_row": round(ns, 1),
+        "reference_ns": REFERENCE_NS["detect"],
+        "ratio_vs_go": round(ns / REFERENCE_NS["detect"], 2),
+    }
+
     # secondary: detection kernel + the pandas-Series API wrapper (pays an
     # object-array conversion the Spark path never does)
     for name, fn, msg in (("detect", detect_rfc, MSG_DETECT),

@@ -116,17 +116,21 @@ def _sd_split(rest):
 
 def _as_arrow(raw) -> pa.Array:
     if isinstance(raw, pa.ChunkedArray):
-        return raw.combine_chunks()
-    if isinstance(raw, pa.Array):
-        return raw
-    return pa.array(raw.tolist(), pa.string())
+        raw = raw.combine_chunks()
+    elif not isinstance(raw, pa.Array):
+        raw = pa.array(raw.tolist(), pa.string())
+    # null-fill: regex kernels propagate nulls into the hit mask (object-
+    # dtype masks downstream) and pc.max(...) of an all-null array is null;
+    # "" never matches either shape regex, so null rows fall to the slow
+    # path exactly like the pre-Arrow formulation
+    return pc.fill_null(raw, "") if raw.null_count else raw
 
 
 def _clamp(arr: pa.Array, limit: int) -> pa.Array:
     """Packet-length clamp (rfc3164.go:12 / rfc5424.go:14), skipped when no
     row exceeds it (byte length bounds codepoint length, so the check is
     safe for multi-byte text)."""
-    if len(arr) and pc.max(pc.binary_length(arr)).as_py() > limit:
+    if len(arr) and (pc.max(pc.binary_length(arr)).as_py() or 0) > limit:
         return pc.utf8_slice_codeunits(arr, 0, limit)
     return arr
 
@@ -340,7 +344,12 @@ def parse_rfc5424_fast(raw):
     ends_br = _np(pc.ends_with(rest_sd, "]"))
     refine &= is_nil_sd | (is_open & (has_term | ends_br))
 
-    nil_msg = pc.utf8_trim(_suffix(rest_sd, 2), " ")
+    # codepoint-safe slice: _suffix's byte slicing would split a multi-byte
+    # char at bytes 1-2 of an SD/MSG field (e.g. "[é..." / "€msg") on the
+    # non-nil rows this is computed for eagerly, making utf8_trim raise and
+    # killing the whole batch; utf8_slice_codeunits walks codepoints and
+    # matches the slow path's r6.str.slice(2) exactly
+    nil_msg = pc.utf8_trim(pc.utf8_slice_codeunits(rest_sd, 2, 2 ** 30), " ")
     sd = pc.if_else(pa.array(is_nil_sd), pa.scalar("-", pa.string()),
                     sd_blocks)
     msg = pc.if_else(pa.array(is_nil_sd), nil_msg, msg_blocks)

@@ -710,29 +710,38 @@ def detect_rfc_arrow(arr) -> np.ndarray:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if (len(arr) and arr.offset == 0 and arr.null_count == 0
+    n = len(arr)
+    if (n and arr.offset == 0 and arr.null_count == 0
             and arr.type == pa.string()):
-        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        # offsets sliced by LOGICAL length: a zero-offset slice of a longer
+        # StringArray has len(arr) < buffer rows, so offs[:-1] would
+        # over-read; truncating the data view to offs[n] also makes the
+        # ASCII check exact over the logical content only
+        offs = np.frombuffer(arr.buffers()[1], np.int32)
+        starts = offs[:n].astype(np.int64)
+        lens = offs[1:n + 1].astype(np.int64) - starts
+        buf = arr.buffers()[2]
+        data = (np.frombuffer(buf, np.uint8)[:int(offs[n])]
+                if buf is not None else np.zeros(0, np.uint8))
         if len(data) == 0 or data.max() < 0x80:
-            offs = np.frombuffer(arr.buffers()[1], np.int32)
-            starts = offs[:-1].astype(np.int64)
-            lens = offs[1:].astype(np.int64) - starts
-            j = np.arange(10, dtype=np.int64)
-            idx = starts[:, None] + j[None, :]
-            safe = np.minimum(idx, max(len(data) - 1, 0))
-            win = np.where(j[None, :] < lens[:, None],
-                           data[safe] if len(data) else 0, 0)
-            eq = win == ord(">")
-            has = eq.any(axis=1)
-            p = eq.argmax(axis=1)
-            out = np.full(len(arr), RFC_UNKNOWN, dtype=np.int64)
-            out[~has & (lens >= 10)] = RFC_5424      # latent v=0 quirk
-            after_ok = has & (p <= 8) & (p + 1 < lens)
-            nxt = np.where(j[None, :] == (p[:, None] + 1), win, 0
-                           ).max(axis=1)
-            digit = (nxt >= ord("0")) & (nxt <= ord("9"))
-            out[after_ok & digit] = RFC_5424
-            out[after_ok & ~digit] = RFC_3164
+            # memchr-style: ONE SIMD pass marks every '>' in the flat
+            # buffer; the first '>' at-or-after each row start is then a
+            # vectorized searchsorted — no N x 10 window materialization
+            out = np.full(n, RFC_UNKNOWN, dtype=np.int64)
+            gt = np.flatnonzero(data == ord(">"))
+            if len(gt):
+                k = np.searchsorted(gt, starts)
+                p_abs = gt[np.minimum(k, len(gt) - 1)]
+                p = p_abs - starts          # >= 0 whenever k < len(gt)
+                has = (k < len(gt)) & (p < np.minimum(lens, 10))
+                out[~has & (lens >= 10)] = RFC_5424  # latent v=0 quirk
+                after_ok = has & (p <= 8) & (p + 1 < lens)
+                nxt = data[np.where(after_ok, p_abs + 1, 0)]
+                digit = (nxt >= ord("0")) & (nxt <= ord("9"))
+                out[after_ok & digit] = RFC_5424
+                out[after_ok & ~digit] = RFC_3164
+            else:
+                out[lens >= 10] = RFC_5424           # latent v=0 quirk
             return out
 
     head = pc.utf8_slice_codeunits(arr, 0, 10)
@@ -755,7 +764,11 @@ def detect_rfc_arrow(arr) -> np.ndarray:
 def detect_rfc(raw) -> pd.Series:
     """Dialect detection over a pandas Series (see detect_rfc_arrow)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    s = raw.fillna("").astype(object)
-    arr = pa.array(s.tolist(), pa.string())
-    return pd.Series(detect_rfc_arrow(arr), index=s.index)
+    # from_pandas converts straight off the Series buffer (None/NaN ->
+    # null) without the tolist() object round-trip
+    arr = pa.array(raw, pa.string(), from_pandas=True)
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    return pd.Series(detect_rfc_arrow(arr), index=raw.index)

@@ -53,6 +53,30 @@ def test_hypothesis_equivalence(batch):
     _assert_same(pd.Series(batch))
 
 
+def test_multibyte_sd_field_does_not_poison_batch():
+    """Regression (ADVICE r2): a multi-byte UTF-8 char at bytes 1-2 of the
+    SD/MSG field used to make the eager byte-based nil_msg slice produce an
+    invalid-UTF-8 view, crashing the WHOLE batch (all 100 sibling rows) in
+    utf8_trim.  Fast and slow paths must agree on these rows inside a large
+    otherwise-clean batch."""
+    hdr = "<165>1 2003-10-11T22:14:15.003Z host app proc msgid "
+    poison = [hdr + "-é tail",            # 'é' spans bytes 1-2 of SD
+              hdr + "[é x=\"1\"] m",      # inside an SD block
+              hdr + "€msg",               # '€' at byte 0 (no match)
+              hdr + "-€"]                 # '€' right after NILVALUE
+    clean = [hdr + f"- row {i}" for i in range(100)]
+    _assert_same(pd.Series(poison + clean))
+
+
+def test_null_and_all_null_inputs():
+    """Regression (ADVICE r2): all-null arrays made _clamp call
+    .as_py() on a null max (TypeError); null rows must simply fall out as
+    DetectFailed-style misses, identical to the slow path."""
+    _assert_same(pd.Series([None, None], dtype=object))
+    _assert_same(pd.Series([None, "<34>Oct 11 22:14:15 h t: x", None],
+                           dtype=object))
+
+
 def test_index_preserved():
     """Masked subsets (non-default index) must round-trip through the
     fast/slow merge with their original index."""

@@ -81,6 +81,22 @@ def test_detect_byte_branch_equals_regex_branch():
     assert (fast == slow).all(), list(zip(cases, fast, slow))
 
 
+def test_detect_on_sliced_array():
+    """Regression (ADVICE r2): a zero-offset SLICE of a longer StringArray
+    (len(arr) < buffer rows) used to over-read the offsets buffer and raise
+    IndexError in the byte-gather branch; it must classify exactly like the
+    same rows in a standalone array."""
+    from sparklog.grammar import detect_rfc_arrow
+
+    rows = ["<34>Oct 11 22:14:15 h t: x", "<165>1 rest", "bad", "",
+            "<1>5424 style", "123456789>", "x" * 10, "<7>tag: m"]
+    big = pa.array(rows, pa.string())
+    for k in (1, 3, 5, len(rows)):
+        got = detect_rfc_arrow(big.slice(0, k))
+        want = detect_rfc_arrow(pa.array(rows[:k], pa.string()))
+        assert (got == want).all(), (k, got, want)
+
+
 def test_detect_fast_branch_rejected_for_non_ascii():
     """Multi-byte batches must take the regex branch (codepoint-window
     semantics differ from byte positions there)."""
