@@ -660,21 +660,76 @@ WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
 
 
 # Degenerate-bucket guard: a band shared by more than this many docs (all-
-# boilerplate corpora, zero vectors) would make the within-bucket self-join
-# quadratic on one hot key; oversized buckets are dropped before the join.
-# The test corpora stay far below the cap, so oracle parity is unaffected;
-# production monitoring should count dropped buckets (see
-# tests/test_bucket_caps.py for the bounded-fan-out proof).
+# boilerplate corpora, zero vectors) would make the within-bucket pair
+# enumeration quadratic on one hot key.  Over-cap buckets are NOT dropped
+# (that silently zeroes recall on boilerplate-heavy corpora): they are
+# first REFINED with more signature bits (exact duplicates share every
+# bit, so refinement never separates true dupes), and groups that are
+# still over cap — rows with literally identical signatures — are SALTED
+# into ceil(n/cap) id-hash splits.  Salting keeps all within-split pairs,
+# so every row in a mass-duplicate group still pairs with ~cap twins (what
+# connected-component dedup needs); only cross-split pairs are forgone,
+# and the loss is observable via bucket_split_stats (never silent).
 LSH_BUCKET_CAP = 1024
 
+# hard guard on the post-salt group size: splits are id-hash balanced so
+# exceeding 4x the cap takes a catastrophic xxhash64 imbalance; rows past
+# it are dropped (counted by bucket_split_stats.n_dropped_rows)
+_SPLIT_HARD_CAP_FACTOR = 4
 
-def _cap_buckets(df: DataFrame, key: str, cap: int) -> DataFrame:
-    """Drop groups over the cap via a window count (same shuffle key as the
-    downstream self-join, so AQE reuses the exchange)."""
-    wb = Window.partitionBy(key)
-    return (df.withColumn("_bn", F.count("*").over(wb))
-              .where(F.col("_bn") <= cap)
-              .drop("_bn"))
+
+def _keyed_with_splits(keyed: DataFrame, key: str, id_col: str, cap: int,
+                       refine=None) -> DataFrame:
+    """(key, id) rows -> final bounded group keys.
+
+    Three levels, each only where needed:
+      _k0 raw bucket -> _k refined (over-cap buckets get extra signature
+      bits appended; the when() short-circuit means refine is only
+      evaluated on over-cap rows) -> _fk salted (still-over-cap groups
+      split into ceil(n/cap) deterministic xxhash64(id) salt groups).
+
+    Shuffle keys are _k0 / _k / _fk — all content-derived, never a fixed-
+    cardinality block; volume is the narrow (key, id) projection.
+    """
+    w1 = Window.partitionBy(key)
+    df = keyed.withColumn("_bn", F.count("*").over(w1))
+    if refine is not None:
+        rk = (F.when(F.col("_bn") <= cap, F.col(key))
+               .otherwise(F.concat(F.col(key), F.lit("#"), refine)))
+    else:
+        rk = F.col(key)
+    df = df.select(F.col(key).alias("_k0"), rk.alias("_k"),
+                   F.col(id_col).alias("_id"), "_bn")
+    w2 = Window.partitionBy("_k")
+    df = df.withColumn("_bn2", F.count("*").over(w2))
+    nsplit = F.ceil(F.col("_bn2") / F.lit(cap)).cast("long")
+    fk = (F.when(F.col("_bn2") <= cap, F.col("_k"))
+           .otherwise(F.concat(
+               F.col("_k"), F.lit("~"),
+               F.pmod(F.xxhash64(F.col("_id")), nsplit).cast("string"))))
+    w3 = Window.partitionBy("_fk")
+    return (df.withColumn("_fk", fk)
+              .withColumn("_bn3", F.count("*").over(w3)))
+
+
+def bucket_split_stats(keyed: DataFrame, key: str, id_col: str, cap: int,
+                       refine=None) -> DataFrame:
+    """One-row observability aggregate for the cap/refine/salt cascade —
+    the dedup jobs' companion metric (exported via sparklog.aggregate next
+    to parse_metrics).  n_dropped_rows > 0 means the hard guard fired;
+    n_salted_rows counts rows whose pairs are split-local (bounded recall
+    loss), n_refined_rows counts rows that needed extra signature bits."""
+    df = _keyed_with_splits(keyed, key, id_col, cap, refine)
+    hard = cap * _SPLIT_HARD_CAP_FACTOR
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("_k0").alias("n_buckets"),
+        F.countDistinct(F.when(F.col("_bn") > cap, F.col("_k0")))
+         .alias("n_over_cap_buckets"),
+        F.sum((F.col("_k") != F.col("_k0")).cast("long"))
+         .alias("n_refined_rows"),
+        F.sum((F.col("_bn2") > cap).cast("long")).alias("n_salted_rows"),
+        F.sum((F.col("_bn3") > hard).cast("long")).alias("n_dropped_rows"))
 
 
 # ordered-pair enumeration within one capped bucket: ids sorted ascending,
@@ -686,19 +741,21 @@ _PAIRS_EXPR = (
 )
 
 
-def _bucket_pairs(keyed: DataFrame, key: str, id_col: str,
-                  cap: int) -> DataFrame:
-    """(key, id) rows -> distinct candidate pairs (a < b) per key group,
-    dropping groups over the cap.  ONE aggregation subtree, no self-join:
-    a band self-join re-executes its whole upstream plan per side, while
-    collect_list + in-array pair enumeration computes it once; the cap
-    bounds both list size and pair fan-out (cap*(cap-1)/2 per bucket)."""
-    # window-count pre-cap BEFORE collecting: an over-cap bucket must never
-    # materialize its id list in the agg buffer (the window shares the
-    # groupBy's hash exchange, so this adds no extra shuffle)
-    capped = _cap_buckets(keyed, key, cap)
-    grouped = (capped.groupBy(key)
-                     .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
+def _bucket_pairs(keyed: DataFrame, key: str, id_col: str, cap: int,
+                  refine=None) -> DataFrame:
+    """(key, id) rows -> distinct candidate pairs (a < b) per bounded
+    group.  ONE aggregation subtree, no self-join: a band self-join
+    re-executes its whole upstream plan per side, while collect_set +
+    in-array pair enumeration computes it once; refine+salt (see
+    _keyed_with_splits) bounds both list size and pair fan-out at
+    ~hard_cap*(hard_cap-1)/2 per group without dropping whole buckets."""
+    # the group-size guard runs BEFORE collecting: an unbounded group must
+    # never materialize its id list in the agg buffer (the _fk window
+    # shares the groupBy's hash exchange, so the guard adds no shuffle)
+    bounded = (_keyed_with_splits(keyed, key, id_col, cap, refine)
+               .where(F.col("_bn3") <= cap * _SPLIT_HARD_CAP_FACTOR))
+    grouped = (bounded.groupBy("_fk")
+                      .agg(F.sort_array(F.collect_set("_id")).alias("ids")))
     return (grouped.where(F.size("ids") >= 2)
                    .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
                    .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -716,7 +773,9 @@ def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
     Formulated as explode(shingles) -> per-shingle hash -> groupBy(doc)
     min-agg: shingles are computed ONCE, and the explode/agg shape is the
     one that scales — the shuffle key is doc_id and partial min-agg
-    combines map-side.  Oversized band buckets are dropped (bucket_cap)."""
+    combines map-side.  Oversized band buckets are refined with the FULL
+    4-hash signature, then salt-split (never dropped — boilerplate-heavy
+    corpora keep within-split dup pairs; see _keyed_with_splits)."""
     # explode_outer + post-filter: a plain explode makes Catalyst infer a
     # size(sh)>0 filter and push it BELOW the words projection, re-inlining
     # the shingle lambda over split(text) per element (measured 7x cost)
@@ -730,10 +789,12 @@ def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
                    for k in range(4)]))
     bands = sigs.select(
         "doc_id",
+        F.concat_ws("|", "h0", "h1", "h2", "h3").alias("fullsig"),
         F.explode(F.array(
             F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1"),
             F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
-    pairs = _bucket_pairs(bands, "band", "doc_id", bucket_cap)
+    pairs = _bucket_pairs(bands, "band", "doc_id", bucket_cap,
+                          refine=F.col("fullsig"))
     return pairs.select(F.col("a").alias("doc_a"),
                         F.col("b").alias("doc_b"))
 
@@ -1211,31 +1272,81 @@ FROM events
 """
 
 
-_LSH_PLANES = 8
+# --- scale-adaptive hyperplane LSH ----------------------------------------
+# The plane count is derived from the corpus size so the EXPECTED bucket
+# population stays ~constant: nplanes = smallest p in [8, 32] with
+# N <= 512 * 2^p.  8 planes (256 buckets) was a fixed keyspace that
+# saturated at ~10^5 vectors — at 10^12 every bucket blew past the cap and
+# the old drop semantics returned empty.  32 planes cover ~2*10^12 vectors
+# at 512 expected rows/bucket; residual skew (real corpora aren't uniform)
+# is handled by _keyed_with_splits' refine+salt cascade, not by dropping.
+_LSH_MIN_PLANES = 8      # floor keeps small-SF bucket keys byte-identical
+_LSH_MAX_PLANES = 32
+_LSH_TARGET_BUCKET = 512
+
+
+def _lsh_nplanes(n_vectors: int) -> int:
+    """Integer-exact (no libm): the DuckDB oracle computes the identical
+    value as least(32, greatest(8, length(bin((N + 511) // 512 - 1))))."""
+    q = -(-n_vectors // _LSH_TARGET_BUCKET)
+    return min(_LSH_MAX_PLANES, max(_LSH_MIN_PLANES, (q - 1).bit_length()))
+
+
+_SQL_NPLANES = ("least({mx}, greatest({mn}, length(bin((({n} + {t1}) // {t})"
+                " - 1))))").format
 # integer-derived pseudo-random hyperplane weights: identical arithmetic in
-# both engines (no libm), weights in [-1, 1]
+# both engines (no libm), weights in [-1, 1].  BIGINT-pinned: k=13+ makes
+# k*73856093 + 63*19349663 overflow int32 (silent wrap in Spark vs error in
+# DuckDB), so the Spark template uses L-suffixed literals and the DuckDB
+# one a ::BIGINT cast — values for k<13 are unchanged.
 _W_SPARK = ("transform(sequence(0, 63), i -> "
-            "(({k} * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0)")
+            "(({k}L * 73856093L + i * 19349663L) % 2001 - 1000) / 1000.0)")
 _W_DUCK = ("list_transform(generate_series(0, 63), i -> "
-           "(({k} * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0)")
+           "(({k}::BIGINT * 73856093 + i * 19349663) % 2001 - 1000)"
+           " / 1000.0)")
+
+
+def _lsh_sig_col(n_from: int, n_to: int, vcol: str = "v"):
+    """Sign-bit signature over hyperplanes [n_from, n_to) — the ONE
+    definition of the hyperplane-bit expression (previously pasted three
+    times).  Used both for the bucket prefix and, lazily, for the refine
+    suffix on over-cap buckets."""
+    bits = [
+        F.when(F.expr(
+            f"aggregate(zip_with({vcol}, {_W_SPARK.format(k=k)}, "
+            f"(x, w) -> x * w), 0D, (acc, x) -> acc + x)") >= 0,
+            "1").otherwise("0")
+        for k in range(n_from, n_to)]
+    return F.concat(*bits)
+
+
+def _sql_lsh_sig(n_from: int, n_to: int, vcol: str = "v") -> str:
+    """DuckDB mirror of _lsh_sig_col (identical integer weight values)."""
+    return " || ".join(
+        f"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
+            j -> {vcol}[j] * ((({k}::BIGINT * 73856093 + (j - 1) * 19349663)
+            % 2001 - 1000) / 1000.0))) >= 0 THEN '1' ELSE '0' END"""
+        for k in range(n_from, n_to))
+
+
+def _embeddings_v(spark, sf) -> DataFrame:
+    return _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
 
 
 def ann_lsh_buckets(spark, sf):
     """LSH-bucketed ANN (the scale path next to brute-force
-    ann_cosine_topk): 8 random-hyperplane sign bits -> bucket key; vectors
-    sharing a bucket are near-duplicate candidates.  At 10^12 scale the
-    bucket key is the shuffle key and candidate verification happens
-    per-bucket."""
-    e = _t(spark, sf, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    bits = [
-        F.when(F.expr(
-            f"aggregate(zip_with(v, {_W_SPARK.format(k=k)}, "
-            f"(x, w) -> x * w), 0D, (acc, x) -> acc + x)") >= 0,
-            "1").otherwise("0")
-        for k in range(_LSH_PLANES)]
-    return (e.select("vec_id", F.concat(*bits).alias("bucket"))
+    ann_cosine_topk): nplanes(N) random-hyperplane sign bits -> bucket key;
+    vectors sharing a bucket are near-duplicate candidates.  The plane
+    count scales with the corpus (see _lsh_nplanes) so expected bucket
+    population stays ~512 at any N; the stats pass that sizes it is one
+    metadata-cheap count(*), the same stats-driven parameterization a
+    k-means codebook would need anyway.  At 10^12 scale the bucket key is
+    the shuffle key and candidate verification happens per-bucket."""
+    e = _embeddings_v(spark, sf)
+    p = _lsh_nplanes(e.count())
+    return (e.select("vec_id", _lsh_sig_col(0, p).alias("bucket"))
              .groupBy("bucket")
              .agg(F.count("*").alias("n_vecs"),
                   F.min("vec_id").alias("min_vec_id"))
@@ -1247,70 +1358,130 @@ def ann_lsh_candidate_pairs(spark, sf,
     """The candidate-generation step of the LSH ANN scale path: vectors
     sharing a sign-bucket become pairs for exact-cosine verification.
     Oversized buckets (degenerate corpora: zero vectors, mass duplicates)
-    are dropped before the self-join so fan-out stays bounded at
-    cap*(cap-1)/2 per bucket.  Not in the oracle registry (the bucketing
-    itself is checked by ann_lsh_buckets); covered by
-    tests/test_bucket_caps.py."""
-    e = _t(spark, sf, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    bits = [
-        F.when(F.expr(
-            f"aggregate(zip_with(v, {_W_SPARK.format(k=k)}, "
-            f"(x, w) -> x * w), 0D, (acc, x) -> acc + x)") >= 0,
-            "1").otherwise("0")
-        for k in range(_LSH_PLANES)]
-    buckets = e.select("vec_id", F.concat(*bits).alias("bucket"))
-    return (_bucket_pairs(buckets, "bucket", "vec_id", bucket_cap)
+    are refined with the remaining hyperplane bits, then salt-split —
+    never dropped — so fan-out stays bounded at ~4*cap^2/2 per group while
+    mass-duplicate rows keep their within-split pairs.  Not in the oracle
+    registry (the bucketing itself is checked by ann_lsh_buckets); covered
+    by tests/test_bucket_caps.py."""
+    e = _embeddings_v(spark, sf)
+    p = _lsh_nplanes(e.count())
+    buckets = e.select("vec_id", "v", _lsh_sig_col(0, p).alias("bucket"))
+    refine = _lsh_sig_col(p, _LSH_MAX_PLANES) if p < _LSH_MAX_PLANES \
+        else None
+    return (_bucket_pairs(buckets, "bucket", "vec_id", bucket_cap,
+                          refine=refine)
             .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b")))
 
 
 _DUP_OFFSET = 1_000_000  # planted-duplicate id namespace
 
 
-_IVF_CELLS = 8
+# --- scale-adaptive IVF ----------------------------------------------------
+# nlist scales ~sqrt(N) (clamped): each probe then touches ~sqrt(N) corpus
+# rows instead of N/8.  A per-cell cap (factor x expected cell size) bounds
+# hot-centroid skew: a cell keeps its cap closest members and spills the
+# overflow to each row's SECOND-nearest cell (single round, no cascade —
+# a spill target can exceed the cap by at most one cell's overflow, which
+# multi-probe search would absorb; documented, never silent at assign time
+# because the spill count is derivable from pos > cap).
+_IVF_MIN_CELLS = 8
+_IVF_MAX_CELLS = 65536          # 64k x 64 doubles = 32 MB codebook cap
+_IVF_CELL_CAP_FACTOR = 4
+
+
+def _ivf_nlist(n: int) -> int:
+    """ceil(sqrt(N)) clamped — integer-exact; the DuckDB oracle's
+    ceil(sqrt(count(*))) agrees (sqrt is correctly rounded IEEE in both
+    engines and the ceil boundary cases are exact squares, where sqrt is
+    exact)."""
+    import math
+
+    return min(_IVF_MAX_CELLS,
+               max(_IVF_MIN_CELLS, math.isqrt(max(n - 1, 0)) + 1))
+
+
+def _ivf_assign(e: DataFrame, nlist: int, cap: int) -> DataFrame:
+    """(vec_id, v) -> (vec_id, v, cell) nearest-cell assignment with the
+    per-cell cap.
+
+    Scale shape: the codebook is ONE collected row (broadcast); each
+    vector computes its best + second-best cell with in-row array ops
+    (transform + array_max over the codebook array) — the old formulation
+    cross-joined e x cents into N*nlist ROWS and shuffled them through a
+    per-vec_id window, which at nlist=sqrt(N) would materialize N^1.5
+    rows.  Here the only shuffles are the pos window (N narrow rows keyed
+    by primary cell) — nothing ever exceeds N rows.
+    """
+    cents = (e.where(F.col("vec_id") < nlist)
+              .select(F.col("vec_id").cast("int").alias("cell"),
+                      F.col("v").alias("cv")))
+    cb = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cb"))
+
+    dot = ("aggregate(zip_with(v, x.cv, (a, b) -> a * b), 0D, "
+           "(acc, y) -> acc + y)")
+    ncv = ("sqrt(aggregate(transform(x.cv, a -> a * a), 0D, "
+           "(acc, y) -> acc + y))")
+    two = (
+        e.crossJoin(F.broadcast(cb))
+         .withColumn("nv", F.expr(
+             "sqrt(aggregate(transform(v, a -> a * a), 0D, "
+             "(acc, y) -> acc + y))"))
+         # (rounded cosine, cell) per codebook entry, computed in-row
+         .withColumn("scored", F.expr(
+             f"transform(cb, x -> struct("
+             f"round({dot} / (nv * {ncv}), 6) AS c, x.cell AS cell))"))
+         # argmax by (c desc, cell asc) == struct-max of (c, -cell)
+         .withColumn("b1", F.expr(
+             "array_max(transform(scored, "
+             "s -> struct(s.c AS c, -s.cell AS mc)))"))
+         .withColumn("b2", F.expr(
+             "array_max(transform(filter(scored, s -> s.cell != -b1.mc), "
+             "s -> struct(s.c AS c, -s.cell AS mc)))"))
+         .select("vec_id", "v",
+                 (-F.col("b1.mc")).alias("cell1"),
+                 F.col("b1.c").alias("c1"),
+                 (-F.col("b2.mc")).alias("cell2")))
+
+    # keep the cap closest rows per primary cell; spill the rest to their
+    # second-nearest cell (deterministic: rounded cosine + vec_id order)
+    wpos = (Window.partitionBy("cell1")
+                  .orderBy(F.col("c1").desc(), F.col("vec_id").asc()))
+    return (two.withColumn("pos", F.row_number().over(wpos))
+               .select("vec_id", "v",
+                       F.when(F.col("pos") <= cap, F.col("cell1"))
+                        .otherwise(F.col("cell2")).alias("cell")))
 
 
 def ann_ivf_topk(spark, sf):
     """IVF-style ANN (the second scale path next to LSH): a deterministic
-    coarse quantizer (centroids = the vectors with vec_id < n_cells, fixed
-    and broadcastable like a trained codebook) assigns every vector to its
-    nearest cell by cosine; queries search ONLY their own cell.  At scale
-    the cell id is the partition key: the corpus shuffles once by cell and
-    each probe touches 1/n_cells of it.  Oracle recomputes the same
-    quantizer + within-cell ranking in SQL."""
-    e = _t(spark, sf, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    cents = (e.where(F.col("vec_id") < _IVF_CELLS)
-              .select(F.col("vec_id").alias("cell"),
-                      F.col("v").alias("cv")))
+    coarse quantizer (codebook = the vectors with vec_id < nlist, fixed
+    and broadcastable like a trained k-means codebook) assigns every
+    vector to its nearest non-full cell by cosine; queries search ONLY
+    their own cell.  nlist ~ sqrt(N) and the per-cell cap bound both the
+    probe cost and hot-centroid skew at any corpus size.  At scale the
+    cell id is the partition key: the corpus shuffles once by cell and
+    each probe touches ~sqrt(N) rows.  Oracle recomputes the same
+    quantizer + cap + within-cell ranking in SQL."""
+    e = _embeddings_v(spark, sf)
+    n = e.count()
+    nlist = _ivf_nlist(n)
+    cap = _IVF_CELL_CAP_FACTOR * -(-n // nlist)
+    assigned = _ivf_assign(e, nlist, cap)
 
     def _cos(a, b):
-        dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
-                     f"(acc, x) -> acc + x)")
+        dotq = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                      f"0D, (acc, x) -> acc + x)")
         na = F.expr(f"sqrt(aggregate(transform({a}, x -> x * x), 0D, "
                     f"(acc, x) -> acc + x))")
         nb = F.expr(f"sqrt(aggregate(transform({b}, x -> x * x), 0D, "
                     f"(acc, x) -> acc + x))")
-        return dot / (na * nb)
+        return dotq / (na * nb)
 
-    # assign: argmax cosine over the broadcast codebook (rounded, cell-id
-    # tiebreak, so both engines pick identical cells)
-    wa = (Window.partitionBy("vec_id")
-                .orderBy(F.col("c").desc(), F.col("cell").asc()))
-    assigned = (e.join(F.broadcast(cents))
-                 .select("vec_id", "v", "cell",
-                         F.round(_cos("v", "cv"), 6).alias("c"))
-                 .withColumn("rn", F.row_number().over(wa))
-                 .where(F.col("rn") == 1)
-                 .select("vec_id", "v", "cell"))
-
-    q = (assigned.where(F.col("vec_id") >= _IVF_CELLS)
-                 .where(F.col("vec_id") < _IVF_CELLS + 20)
+    q = (assigned.where(F.col("vec_id") >= nlist)
+                 .where(F.col("vec_id") < nlist + 20)
                  .select(F.col("vec_id").alias("query_id"),
                          F.col("v").alias("qv"), "cell"))
-    c = (assigned.where(F.col("vec_id") >= _IVF_CELLS + 20)
+    c = (assigned.where(F.col("vec_id") >= nlist + 20)
                  .select(F.col("vec_id").alias("neighbor_id"), "v", "cell"))
     scored = (c.join(F.broadcast(q), "cell")
                .select("query_id", "neighbor_id",
@@ -1322,31 +1493,56 @@ def ann_ivf_topk(spark, sf):
 
 
 def _sql_ann_ivf() -> str:
+    """Oracle mirror of ann_ivf_topk with nlist/cap derived from count(*)
+    by the same formulas.  DuckDB keeps the explode+window formulation
+    (identical RESULTS; the array-argmax shape is a Spark scale concern,
+    not a semantics one)."""
     cos = ("round(list_sum(list_transform(generate_series(1, len({a})), "
            "i -> {a}[i] * {b}[i])) / "
            "(sqrt(list_sum(list_transform({a}, x -> x*x))) * "
            "sqrt(list_sum(list_transform({b}, x -> x*x)))), {r})")
+    nl = (f"greatest({_IVF_MIN_CELLS}, least({_IVF_MAX_CELLS}, "
+          f"ceil(sqrt(count(*)))::BIGINT))")
     return f"""
 WITH e AS (
   SELECT vec_id::BIGINT AS vec_id,
          list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
+), p AS (
+  SELECT {nl} AS nl,
+         {_IVF_CELL_CAP_FACTOR} * ((count(*) + {nl} - 1) // {nl}) AS cap
+  FROM e
 ), cents AS (
-  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < (SELECT nl FROM p)
+), ranked AS (
+  SELECT e.vec_id, c.cell,
+         {cos.format(a='e.v', b='c.cv', r=6)} AS cs,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {cos.format(a='e.v', b='c.cv', r=6)} DESC,
+                    c.cell ASC) AS rn
+  FROM e CROSS JOIN cents c
+), two AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cell END) AS cell1,
+         max(CASE WHEN rn = 1 THEN cs END) AS c1,
+         max(CASE WHEN rn = 2 THEN cell END) AS cell2
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+), positioned AS (
+  SELECT vec_id, cell1, cell2,
+         row_number() OVER (PARTITION BY cell1
+           ORDER BY c1 DESC, vec_id ASC) AS pos
+  FROM two
 ), assigned AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {cos.format(a='e.v', b='c.cv', r=6)} DESC,
-                      c.cell ASC) AS rn
-    FROM e CROSS JOIN cents c
-  ) WHERE rn = 1
+  SELECT t.vec_id, e.v,
+         CASE WHEN t.pos <= (SELECT cap FROM p) THEN t.cell1
+              ELSE t.cell2 END AS cell
+  FROM positioned t JOIN e USING (vec_id)
 ), q AS (
   SELECT vec_id AS query_id, v AS qv, cell FROM assigned
-  WHERE vec_id >= {_IVF_CELLS} AND vec_id < {_IVF_CELLS + 20}
+  WHERE vec_id >= (SELECT nl FROM p) AND vec_id < (SELECT nl FROM p) + 20
 ), c AS (
   SELECT vec_id AS neighbor_id, v, cell FROM assigned
-  WHERE vec_id >= {_IVF_CELLS + 20}
+  WHERE vec_id >= (SELECT nl FROM p) + 20
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT q.query_id, c.neighbor_id,
@@ -1364,28 +1560,25 @@ SQL_ANN_IVF_TOPK = _sql_ann_ivf()
 
 def dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup pairs (cosine >= 0.99): candidates from
-    the 8-bit hyperplane LSH sign buckets (capped), verified with exact
-    cosine.  The synthetic embeddings table is random (max pairwise cosine
-    ~0.6), so each vector is unioned with an exact duplicate under
-    vec_id + 1e6 — deterministically in BOTH engines — giving the path
-    known true pairs to find.  Identical vectors share every sign bit, so
-    LSH recall on the planted pairs is exactly 1, and the O(N^2)
+    the nplanes(2N)-bit hyperplane LSH sign buckets (refine+salt bounded),
+    verified with exact cosine.  The synthetic embeddings table is random
+    (max pairwise cosine ~0.6), so each vector is unioned with an exact
+    duplicate under vec_id + 1e6 — deterministically in BOTH engines —
+    giving the path known true pairs to find.  Identical vectors share
+    every sign bit at ANY plane count, so refinement never separates the
+    planted pairs and LSH recall on them is exactly 1; the O(N^2)
     brute-force oracle must agree pair-for-pair.  Shuffle keys: bucket,
     then pair ids — candidate verification never materializes O(N^2)."""
-    e = _t(spark, sf, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    e = _embeddings_v(spark, sf)
     aug = e.unionByName(
         e.select((F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "v"))
 
-    bits = [
-        F.when(F.expr(
-            f"aggregate(zip_with(v, {_W_SPARK.format(k=k)}, "
-            f"(x, w) -> x * w), 0D, (acc, x) -> acc + x)") >= 0,
-            "1").otherwise("0")
-        for k in range(_LSH_PLANES)]
-    buckets = aug.select("vec_id", F.concat(*bits).alias("bucket"))
-    cand = (_bucket_pairs(buckets, "bucket", "vec_id", LSH_BUCKET_CAP)
+    p = _lsh_nplanes(2 * e.count())
+    buckets = aug.select("vec_id", "v", _lsh_sig_col(0, p).alias("bucket"))
+    refine = _lsh_sig_col(p, _LSH_MAX_PLANES) if p < _LSH_MAX_PLANES \
+        else None
+    cand = (_bucket_pairs(buckets, "bucket", "vec_id", LSH_BUCKET_CAP,
+                          refine=refine)
             .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b")))
 
     va = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
@@ -1426,20 +1619,23 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
 
 
 def _sql_ann_lsh() -> str:
-    bits = " || ".join(
-        f"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
-            j -> v[j] * ((({k} * 73856093 + (j - 1) * 19349663) % 2001
-            - 1000) / 1000.0))) >= 0 THEN '1' ELSE '0' END"""
-        for k in range(_LSH_PLANES))
+    """Mirrors ann_lsh_buckets INCLUDING the adaptive plane count: the full
+    32-bit signature is computed and the bucket is its nplanes(N)-char
+    prefix, with nplanes derived from count(*) by the same integer-exact
+    formula _lsh_nplanes uses."""
+    np_expr = _SQL_NPLANES(n="(SELECT count(*) FROM e)",
+                           mn=_LSH_MIN_PLANES, mx=_LSH_MAX_PLANES,
+                           t=_LSH_TARGET_BUCKET, t1=_LSH_TARGET_BUCKET - 1)
     return f"""
 WITH e AS (
   SELECT vec_id::BIGINT AS vec_id,
          list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
 )
-SELECT {bits} AS bucket, count(*)::BIGINT AS n_vecs,
+SELECT substr(sig, 1, {np_expr}) AS bucket, count(*)::BIGINT AS n_vecs,
        min(vec_id)::BIGINT AS min_vec_id
-FROM e GROUP BY 1 HAVING count(*) > 1
+FROM (SELECT vec_id, {_sql_lsh_sig(0, _LSH_MAX_PLANES)} AS sig FROM e)
+GROUP BY 1 HAVING count(*) > 1
 """
 
 

@@ -1,22 +1,33 @@
-"""Degenerate-corpus guard: LSH band/bucket self-joins must stay bounded
-when every document (or vector) collides into one bucket — the failure mode
-a boilerplate-heavy 100 TB corpus hits.  With the cap, fan-out is at most
-cap*(cap-1)/2 per bucket; an uncapped join would be O(N^2) on the hot key.
+"""Degenerate-corpus guard: LSH band/bucket pair generation must stay
+bounded when every document (or vector) collides into one bucket — the
+failure mode a boilerplate-heavy 100 TB corpus hits.
+
+Round-3 semantics: over-cap buckets are REFINED (more signature bits) and
+then SALT-SPLIT, never dropped.  The properties proven here:
+  (a) planted duplicates are still found when their 8-bit bucket exceeds
+      the cap (the old drop semantics returned zero pairs);
+  (b) fan-out stays bounded (within-split pairs only, <= ~hard_cap^2/2 per
+      group) even when ALL rows share one signature;
+  (c) the loss is observable: bucket_split_stats counts refined / salted /
+      dropped rows.
 """
 
 import pytest
 from pyspark.sql import functions as F
 
 from sparklog.queries import (
-    _cap_buckets,
+    _keyed_with_splits,
+    _lsh_nplanes,
     ann_lsh_candidate_pairs,
+    bucket_split_stats,
     dedup_minhash_lsh,
 )
 
 
 @pytest.fixture(scope="module")
 def degenerate_docs_dir(spark, tmp_path_factory):
-    """200 identical documents: every MinHash band is the same bucket."""
+    """200 identical documents: every MinHash band AND the full signature
+    collide, driving the cascade all the way to the id-salt level."""
     d = str(tmp_path_factory.mktemp("degen"))
     (spark.range(200)
      .select(F.col("id").alias("doc_id"),
@@ -32,28 +43,136 @@ def degenerate_docs_dir(spark, tmp_path_factory):
     return d
 
 
-def test_minhash_bucket_cap_bounds_fanout(spark, degenerate_docs_dir):
+@pytest.fixture(scope="module")
+def family_docs_dir(spark, tmp_path_factory):
+    """20 families x 30 EXACT copies: full signatures separate families,
+    but with a small cap each family still overflows -> salt level."""
+    d = str(tmp_path_factory.mktemp("family"))
+    (spark.range(600)
+     .select(F.col("id").alias("vec_id"),
+             F.expr("transform(sequence(1, 64), i -> cast("
+                    "pmod((id % 20) * 31 + i * 17, 97) - 48 as float))")
+              .alias("embedding"))
+     .write.mode("overwrite").parquet(f"{d}/embeddings.parquet"))
+    return d
+
+
+def test_minhash_salt_split_keeps_within_split_pairs(spark,
+                                                     degenerate_docs_dir):
     # uncapped: all 200 docs share both bands -> 200*199/2 pairs
     unbounded = dedup_minhash_lsh(spark, degenerate_docs_dir,
                                   bucket_cap=10**9).count()
     assert unbounded == 200 * 199 // 2
-    # capped: the degenerate bucket is dropped entirely
-    assert dedup_minhash_lsh(spark, degenerate_docs_dir,
-                             bucket_cap=100).count() == 0
+    # capped: the degenerate bucket is salt-split into ceil(200/100)=2
+    # groups; within-split pairs survive (old semantics dropped ALL)
+    capped = dedup_minhash_lsh(spark, degenerate_docs_dir,
+                               bucket_cap=100).count()
+    assert 0 < capped < unbounded
+    # fan-out bound: 2 splits of <= 4*cap rows each
+    assert capped <= 2 * (400 * 399 // 2)
 
 
-def test_ann_bucket_cap_bounds_fanout(spark, degenerate_docs_dir):
+def test_ann_salt_split_keeps_within_split_pairs(spark,
+                                                 degenerate_docs_dir):
     unbounded = ann_lsh_candidate_pairs(spark, degenerate_docs_dir,
                                         bucket_cap=10**9).count()
     assert unbounded == 200 * 199 // 2
-    assert ann_lsh_candidate_pairs(spark, degenerate_docs_dir,
-                                   bucket_cap=100).count() == 0
+    capped = ann_lsh_candidate_pairs(spark, degenerate_docs_dir,
+                                     bucket_cap=100).count()
+    assert 0 < capped < unbounded
 
 
-def test_cap_keeps_small_buckets(spark):
+def test_refine_recovers_planted_duplicates(spark, family_docs_dir):
+    """Every row of every 30-copy family must still be detected as a
+    duplicate (appear in >= 1 pair) under a cap of 10, and every pair must
+    be a true pair (same family) — drop semantics would lose whole
+    families whenever their 8-bit bucket overflowed."""
+    pairs = ann_lsh_candidate_pairs(spark, family_docs_dir, bucket_cap=10)
+    rows = pairs.collect()
+    # correctness: candidates never cross families here (identical vectors
+    # share ALL bits; distinct families differ in the refine suffix or
+    # the bucket itself... cross-family candidates are possible in LSH,
+    # but for these synthetic families every emitted pair within a salted
+    # group of one family is a true duplicate pair)
+    touched = set()
+    for r in rows:
+        touched.add(r.vec_a)
+        touched.add(r.vec_b)
+        assert r.vec_a % 20 == r.vec_b % 20, r  # same family only
+    assert touched == set(range(600)), (
+        f"rows never paired: {sorted(set(range(600)) - touched)[:10]}")
+    # fan-out bound: far below the 600*599/2 full cross product
+    assert len(rows) <= 20 * 3 * (40 * 39 // 2)
+
+
+def test_bucket_split_stats_observability(spark, degenerate_docs_dir):
+    e = (spark.read.parquet(f"{degenerate_docs_dir}/embeddings.parquet")
+         .select(F.col("vec_id").cast("long").alias("vec_id"),
+                 F.expr("transform(embedding, x -> cast(x as double))")
+                  .alias("v"),
+                 F.lit("B").alias("bucket")))
+    stats = bucket_split_stats(e, "bucket", "vec_id", 100).collect()[0]
+    assert stats.n_rows == 200
+    assert stats.n_buckets == 1
+    assert stats.n_over_cap_buckets == 1
+    assert stats.n_refined_rows == 0     # no refine column passed
+    assert stats.n_salted_rows == 200    # whole bucket went to salt level
+    assert stats.n_dropped_rows == 0     # hard guard never fired
+
+    # under-cap corpus: cascade fully idle
+    stats2 = bucket_split_stats(e, "bucket", "vec_id", 1000).collect()[0]
+    assert stats2.n_over_cap_buckets == 0
+    assert stats2.n_salted_rows == 0
+
+
+def test_cascade_noop_under_cap(spark):
+    """Groups under the cap must keep their raw key untouched (small-SF
+    oracle parity depends on this)."""
     df = spark.createDataFrame(
         [("a", i) for i in range(5)] + [("b", i) for i in range(50)],
         "band string, doc_id int")
-    kept = _cap_buckets(df, "band", 10)
-    assert kept.where(F.col("band") == "a").count() == 5
-    assert kept.where(F.col("band") == "b").count() == 0
+    out = _keyed_with_splits(df, "band", "doc_id", 100)
+    assert out.where(F.col("_fk") != F.col("_k0")).count() == 0
+
+
+def test_ivf_cell_cap_bounds_hot_centroid(spark):
+    """Skewed corpus: every vector is nearest the SAME centroid.  The cap
+    must keep exactly `cap` rows in the hot cell and spill the rest to
+    each row's second-nearest cell — probe cost over the hot cell is then
+    bounded by the cap, not by the skew."""
+    from sparklog.queries import _ivf_assign
+
+    # vec 0..3 are the codebook: (near-)standard basis directions e0..e3.
+    # vec 4..39: dominated by e2 (scale 100) plus an id-varying component
+    # on dims 4..7 -> all primary-assign to cell 2 with DISTINCT cosines,
+    # and their second-nearest cells vary.
+    e = (spark.range(40)
+         .select(F.col("id").alias("vec_id"),
+                 F.expr(
+                     "CASE WHEN id < 4 THEN "
+                     "  transform(sequence(0, 63), "
+                     "    i -> cast(if(i = id, 1.0, 0.0) as double)) "
+                     "ELSE transform(sequence(0, 63), i -> cast("
+                     "  if(i = 2, 100.0, "
+                     "     if(i >= 4 and i < 8, "
+                     "        pmod(id * (i + 3), 7) + 1.0, 0.0)) as double))"
+                     " END").alias("v")))
+    cap = 8
+    assigned = _ivf_assign(e, nlist=4, cap=cap).collect()
+    assert len(assigned) == 40                      # no rows lost
+    by_cell = {}
+    for r in assigned:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    # hot cell 2 is capped exactly; overflow spilled elsewhere
+    assert len(by_cell[2]) == cap, by_cell
+    assert sum(len(v) for c, v in by_cell.items() if c != 2) == 32
+
+
+def test_nplanes_schedule():
+    assert _lsh_nplanes(1) == 8
+    assert _lsh_nplanes(500) == 8
+    assert _lsh_nplanes(131072) == 8          # 512 * 2^8 exactly
+    assert _lsh_nplanes(131073) == 9
+    assert _lsh_nplanes(10**9) == 21
+    assert _lsh_nplanes(10**12) == 31
+    assert _lsh_nplanes(4 * 10**12) == 32     # saturates at the max
