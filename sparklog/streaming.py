@@ -130,12 +130,61 @@ def user_state_stream(stream: DataFrame) -> DataFrame:
                                     GroupStateTimeout.NoTimeout))
 
 
+def run_user_state_job(spark: SparkSession, events_dir: str, out_dir: str,
+                       checkpoint: str) -> DataFrame:
+    """PRODUCTION-shape run of the stateful per-user aggregate: the
+    update-mode emissions land in an epoch-partitioned parquet sink via
+    foreachBatch (exactly-once per epoch: dynamic-partition overwrite
+    under epoch=<id>, the same idempotent-replay recipe as
+    start_streaming_job), and the final per-user row is reduced from the
+    sink DISTRIBUTEDLY.  Nothing accumulates on the driver at any corpus
+    size — use this, not run_user_state_batch, on a cluster."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(events_dir))
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        (df.withColumn("epoch", F.lit(epoch_id))
+           .write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy("epoch")
+           .parquet(f"{out_dir}/user_state"))
+
+    q = (user_state_stream(stream)
+         .writeStream
+         .foreachBatch(write_epoch)
+         .outputMode("update")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return read_user_state_result(spark, out_dir)
+
+
+def read_user_state_result(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Final per-user aggregate from the epoch-partitioned sink: n_events
+    is monotone across epochs, so the max-n_events row per user is the
+    complete state (a window over the sink — distributed, no collect)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc(),
+                                              F.col("epoch").desc())
+    return (spark.read.parquet(f"{out_dir}/user_state")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "epoch"))
+
+
 def run_user_state_batch(spark: SparkSession, events_dir: str,
                          checkpoint: str,
                          name: str = "user_state_sink") -> DataFrame:
-    """availableNow run of the stateful per-user aggregate; the update-mode
-    memory sink accumulates one row per (user, epoch-with-changes), and the
-    final (max n_events) row per user is the complete aggregate."""
+    """ORACLE-HARNESS-ONLY variant: the update-mode MEMORY sink
+    accumulates one row per (user, epoch-with-changes) on the DRIVER, and
+    the final (max n_events) row per user is the complete aggregate.
+    Driver-bound by construction — convenient for the DuckDB parity gate,
+    wrong for a cluster; the production path is run_user_state_job's
+    foreachBatch parquet sink."""
     from pyspark.sql.window import Window
 
     for q in spark.streams.active:

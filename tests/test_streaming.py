@@ -80,6 +80,62 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
     assert spark.read.parquet(out_dir + "/sinks").count() == 800
 
 
+def test_user_state_parquet_sink_matches_batch_and_replays(spark,
+                                                           tmp_path):
+    """Production-shape stateful sink (run_user_state_job: foreachBatch ->
+    epoch-partitioned parquet): final per-user rows must equal the batch
+    GROUP BY, and a crash-replay of the last epoch must overwrite, not
+    duplicate (same recipe as the fan-out sink test)."""
+    from sparklog.streaming import run_user_state_job
+
+    ev_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "us_out")
+    ckpt = str(tmp_path / "us_ckpt")
+    events = spark.range(300).select(
+        (F.col("id") % 25).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 5)).alias("event_type"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60)
+         .alias("ts"))
+    events.repartition(3).write.parquet(ev_dir)   # 3 files -> 3 epochs
+
+    def _norm(df):
+        return (df.select("user_id", "n_events", "n_types",
+                          "min_ts", "max_ts")
+                  .toPandas().sort_values("user_id")
+                  .reset_index(drop=True))
+
+    got = _norm(run_user_state_job(spark, ev_dir, out_dir, ckpt))
+    want = _norm(spark.read.parquet(ev_dir).groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")))
+    assert got.equals(want), (got, want)
+
+    # un-commit the last epoch and rerun: the replay must OVERWRITE its
+    # epoch partition, leaving the final reduction unchanged
+    commits = sorted(f for f in os.listdir(ckpt + "/commits")
+                     if not f.startswith("."))
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    again = _norm(run_user_state_job(spark, ev_dir, out_dir, ckpt))
+    assert again.equals(want)
+
+
+def test_streaming_cache_invalidates_on_regeneration(tmp_path):
+    """_source_fingerprint must change when a parquet source is rewritten
+    in place (same path, same sizes, new mtime)."""
+    from sparklog.queries import _source_fingerprint
+
+    p = tmp_path / "events.parquet"
+    p.write_bytes(b"x" * 64)
+    f1 = _source_fingerprint(str(p))
+    os.utime(p, ns=(1, 2))
+    f2 = _source_fingerprint(str(p))
+    assert f1 != f2
+
+
 def test_streaming_epoch_replay_is_exactly_once(spark, tmp_path):
     """A crash between a (possibly partial) sink write and the checkpoint
     commit replays the epoch on restart.  Simulated by deleting the last
