@@ -710,19 +710,27 @@ def _keyed_with_splits(keyed: DataFrame, key: str, id_col: str, cap: int,
       split into ceil(n/cap) deterministic xxhash64(id) salt groups).
 
     Shuffle keys are _k0 / _k / _fk — all content-derived, never a fixed-
-    cardinality block; volume is the narrow (key, id) projection.
+    cardinality block; volume is the narrow (key, id) projection.  The
+    cascade costs up to 2 extra narrow shuffles vs the old single-pass
+    drop — the price of skew-robust pair generation at any corpus shape
+    (AQE splits skewed JOINS, not quadratic pair enumeration); without a
+    refine column the middle level is skipped.
     """
     w1 = Window.partitionBy(key)
     df = keyed.withColumn("_bn", F.count("*").over(w1))
     if refine is not None:
         rk = (F.when(F.col("_bn") <= cap, F.col(key))
                .otherwise(F.concat(F.col(key), F.lit("#"), refine)))
+        df = df.select(F.col(key).alias("_k0"), rk.alias("_k"),
+                       F.col(id_col).alias("_id"), "_bn")
+        w2 = Window.partitionBy("_k")
+        df = df.withColumn("_bn2", F.count("*").over(w2))
     else:
-        rk = F.col(key)
-    df = df.select(F.col(key).alias("_k0"), rk.alias("_k"),
-                   F.col(id_col).alias("_id"), "_bn")
-    w2 = Window.partitionBy("_k")
-    df = df.withColumn("_bn2", F.count("*").over(w2))
+        # no refinement bits -> _k == key and the level-2 count equals the
+        # level-1 count; skip the extra window (and its shuffle) entirely
+        df = df.select(F.col(key).alias("_k0"), F.col(key).alias("_k"),
+                       F.col(id_col).alias("_id"), "_bn",
+                       F.col("_bn").alias("_bn2"))
     nsplit = F.ceil(F.col("_bn2") / F.lit(cap)).cast("long")
     fk = (F.when(F.col("_bn2") <= cap, F.col("_k"))
            .otherwise(F.concat(
@@ -1442,26 +1450,37 @@ def _ivf_assign(e: DataFrame, nlist: int, cap: int) -> DataFrame:
            "(acc, y) -> acc + y)")
     ncv = ("sqrt(aggregate(transform(x.cv, a -> a * a), 0D, "
            "(acc, y) -> acc + y))")
+    # ONE-PASS top-2 over the codebook: carry (best, second) through an
+    # aggregate, ordering by (rounded cosine desc, cell asc) — the same
+    # total order the oracle's row_number uses.  Sentinel c=-2 < any
+    # cosine.
+    top2 = f"""aggregate(
+        transform(cb, x -> struct(round({dot} / (nv * {ncv}), 6) AS c,
+                                  x.cell AS cell)),
+        struct(struct(-2D AS c, 2147483647 AS cell) AS b1,
+               struct(-2D AS c, 2147483647 AS cell) AS b2),
+        (acc, s) -> CASE
+            WHEN s.c > acc.b1.c OR (s.c = acc.b1.c AND s.cell < acc.b1.cell)
+                THEN struct(s AS b1, acc.b1 AS b2)
+            WHEN s.c > acc.b2.c OR (s.c = acc.b2.c AND s.cell < acc.b2.cell)
+                THEN struct(acc.b1 AS b1, s AS b2)
+            ELSE acc END)"""
     two = (
         e.crossJoin(F.broadcast(cb))
-         .withColumn("nv", F.expr(
+         # explode(array(..)) as a materialization barrier: a Generate is
+         # never collapsed into downstream projections, so nv and the
+         # top-2 codebook scan evaluate ONCE per row — naive withColumns
+         # let ProjectCollapse re-inline the whole scan per referencing
+         # column (measured ~100x slowdown)
+         .select("vec_id", "v", "cb", F.explode(F.array(F.expr(
              "sqrt(aggregate(transform(v, a -> a * a), 0D, "
-             "(acc, y) -> acc + y))"))
-         # (rounded cosine, cell) per codebook entry, computed in-row
-         .withColumn("scored", F.expr(
-             f"transform(cb, x -> struct("
-             f"round({dot} / (nv * {ncv}), 6) AS c, x.cell AS cell))"))
-         # argmax by (c desc, cell asc) == struct-max of (c, -cell)
-         .withColumn("b1", F.expr(
-             "array_max(transform(scored, "
-             "s -> struct(s.c AS c, -s.cell AS mc)))"))
-         .withColumn("b2", F.expr(
-             "array_max(transform(filter(scored, s -> s.cell != -b1.mc), "
-             "s -> struct(s.c AS c, -s.cell AS mc)))"))
+             "(acc, y) -> acc + y))"))).alias("nv"))
          .select("vec_id", "v",
-                 (-F.col("b1.mc")).alias("cell1"),
-                 F.col("b1.c").alias("c1"),
-                 (-F.col("b2.mc")).alias("cell2")))
+                 F.explode(F.array(F.expr(top2))).alias("t2"))
+         .select("vec_id", "v",
+                 F.col("t2.b1.cell").alias("cell1"),
+                 F.col("t2.b1.c").alias("c1"),
+                 F.col("t2.b2.cell").alias("cell2")))
 
     # keep the cap closest rows per primary cell; spill the rest to their
     # second-nearest cell (deterministic: rounded cosine + vec_id order)
