@@ -619,48 +619,100 @@ def _with_shingles(d: DataFrame, *extra_cols: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark, sf):
     """Near-dup detection: word-3-gram Jaccard >= 0.8 within (lang, source),
-    via prefix-filter candidate generation + exact verification of the
-    candidate pairs only (no self-join on a fixed-cardinality block key).
+    as exact-duplicate collapse -> prefix-filtered near-dup on UNIQUE texts
+    -> pair re-expansion.  Same result set as the oracle's quadratic
+    self-join, in the shape that survives web-scale duplication.
 
-    Prefix-filter guarantee (exact, not probabilistic): order each doc's
-    shingles rarest-first (global doc-frequency, shingle tiebreak).  If
-    J(A,B) >= t, the common shingles number >= t*|A|, so at least one falls
-    inside A's first |A| - ceil(t*|A|) + 1 shingles — joining each doc's
-    PREFIX shingles against ALL shingles is a provable superset of the
-    true pairs.  Prefix shingles are the globally rarest, so the shingle
-    join key has bounded fan-out on non-degenerate corpora; at 10^12 docs
-    the shuffle keys are (shingle) and (doc_id), never a low-cardinality
-    block."""
+    Stage 1 — collapse: group by (lang, source, text); one representative
+    (min doc_id) per distinct text.  Web corpora are duplication-heavy and
+    every downstream cost here is quadratic in the per-text copy count, so
+    collapsing FIRST is the standard design (exact dedup before near-dup);
+    it turned a x10-replicated corpus from ~100x into ~1x candidate-join
+    volume.  Within-group pairs are emitted directly with jaccard = 1.0
+    (identical texts; only for texts with >= 3 words, since the oracle's
+    union > 0 clause excludes shingle-less docs).
+
+    Stage 2 — candidates on representatives via the PPJoin prefix filter
+    (exact, not probabilistic): order each doc's shingles rarest-first
+    (global doc-frequency, shingle tiebreak).  If J(A,B) >= t, the shared
+    shingles number >= t*max(|A|,|B|), so A's and B's first
+    |x| - ceil(t*|x|) + 1 shingles must INTERSECT — a prefix-to-PREFIX
+    join (not prefix-to-all: ~5x less join volume on this corpus) is a
+    provable candidate superset; the t*|A| <= |B| <= |A|/t length filter
+    prunes further.  Shuffle keys are (shingle) and (doc_id), never a
+    low-cardinality block.
+
+    Stage 3 — exact verification of candidate rep pairs only, then
+    cross-group expansion: every member of group(A) pairs with every
+    member of group(B) at the rep pair's jaccard (members are byte-
+    identical to their rep, so the value is exact, not approximated)."""
     t = F.lit(0.8)
-    d = _with_shingles(_t(spark, sf, "documents"), "lang", "source")
-    ex = (d.select("doc_id", "lang", "source", F.size("sh").alias("nsh"),
-                   F.explode_outer("sh").alias("s"))
-           .where(F.col("s").isNotNull()))
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang", "source", "text")
+    groups = (docs.groupBy("lang", "source", "text")
+                  .agg(F.min("doc_id").alias("doc_id"),
+                       F.sort_array(F.collect_list("doc_id"))
+                        .alias("members"),
+                       F.count("*").alias("n_copies")))
+
+    # within-group pairs: identical texts, J = 1 by definition (>= 3 words
+    # so the shingle set is non-empty, matching the oracle's union > 0)
+    dup_pairs = (groups
+                 .where((F.col("n_copies") > 1)
+                        & (F.size(F.split("text", " ")) >= 3))
+                 .select(F.explode(F.expr(
+                     _PAIRS_EXPR.replace("ids", "members"))).alias("p"))
+                 .select(F.col("p.a").alias("doc_a"),
+                         F.col("p.b").alias("doc_b"),
+                         F.lit(1.0).alias("jaccard")))
+
+    reps = _with_shingles(groups, "lang", "source")
+    ex = (reps.select("doc_id", "lang", "source",
+                      F.size("sh").alias("nsh"),
+                      F.explode_outer("sh").alias("s"))
+              .where(F.col("s").isNotNull()))
     freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     pref = (ex.join(freq, "s")
               .withColumn("rn", F.row_number().over(w))
               .where(F.col("rn")
                      <= F.col("nsh") - F.ceil(t * F.col("nsh")) + 1))
-    a = pref.select("doc_id", "lang", "source", "s").alias("a")
-    b = ex.select("doc_id", "lang", "source", "s").alias("b")
+    a = pref.select("doc_id", "lang", "source", "nsh", "s").alias("a")
+    b = pref.select("doc_id", "lang", "source", "nsh", "s").alias("b")
     cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
                    & (F.col("a.lang") == F.col("b.lang"))
                    & (F.col("a.source") == F.col("b.source"))
-                   & (F.col("a.doc_id") != F.col("b.doc_id")))
-             .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                     F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("b.nsh") * t <= F.col("a.nsh"))
+                   & (F.col("a.nsh") * t <= F.col("b.nsh")))
+             .select(F.col("a.doc_id").alias("rep_a"),
+                     F.col("b.doc_id").alias("rep_b"))
              .distinct())
-    sh_a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    sh_b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    sh_a = reps.select(F.col("doc_id").alias("rep_a"),
+                       F.col("sh").alias("sa"))
+    sh_b = reps.select(F.col("doc_id").alias("rep_b"),
+                       F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_union("sa", "sb"))
-    return (cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-                .where(union > 0)
-                .select("doc_a", "doc_b",
-                        F.round(inter / union, 4).alias("jaccard"))
-                .where(F.col("jaccard") >= 0.8)
-                .select("doc_a", "doc_b", "jaccard"))
+    rep_pairs = (cand.join(sh_a, "rep_a").join(sh_b, "rep_b")
+                     .where(union > 0)
+                     .select("rep_a", "rep_b",
+                             F.round(inter / union, 4).alias("jaccard"))
+                     .where(F.col("jaccard") >= 0.8))
+
+    mem_a = groups.select(F.col("doc_id").alias("rep_a"),
+                          F.col("members").alias("ma"))
+    mem_b = groups.select(F.col("doc_id").alias("rep_b"),
+                          F.col("members").alias("mb"))
+    cross_pairs = (rep_pairs.join(mem_a, "rep_a").join(mem_b, "rep_b")
+                   .select("jaccard", F.explode("ma").alias("da"), "mb")
+                   .select("jaccard", "da", F.explode("mb").alias("db"))
+                   .select(F.least("da", "db").alias("doc_a"),
+                           F.greatest("da", "db").alias("doc_b"),
+                           "jaccard"))
+    return cross_pairs.unionByName(dup_pairs) \
+                      .select("doc_a", "doc_b", "jaccard")
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""

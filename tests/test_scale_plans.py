@@ -60,10 +60,12 @@ def test_ngram_jaccard_no_block_self_join(spark):
 
     plan = _plan(dedup_ngram_jaccard(spark, SF))
     join_keys = [ln for ln in plan.splitlines() if "keys" in ln.lower()]
-    # every equi-join must involve a shingle or doc key, not lang/source
+    # every equi-join / grouping must involve a content-derived key
+    # (shingle, doc id, or the full text of the exact-collapse groupBy),
+    # never lang/source alone — those are a fixed-cardinality block
     for ln in join_keys:
         if "lang" in ln:
-            assert ("s#" in ln) or ("doc" in ln), ln
+            assert ("s#" in ln) or ("doc" in ln) or ("text" in ln), ln
 
 
 def test_detect_byte_branch_equals_regex_branch():
