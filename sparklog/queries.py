@@ -1737,25 +1737,49 @@ def dedup_embedding_cosine(spark, sf):
     verified with exact cosine.  The synthetic embeddings table is random
     (max pairwise cosine ~0.6), so each vector is unioned with an exact
     duplicate under vec_id + 1e6 — deterministically in BOTH engines —
-    giving the path known true pairs to find.  Identical vectors share
-    every sign bit at ANY plane count, so refinement never separates the
-    planted pairs and LSH recall on them is exactly 1; the O(N^2)
-    brute-force oracle must agree pair-for-pair.  Shuffle keys: bucket,
-    then pair ids — candidate verification never materializes O(N^2)."""
+    giving the path known true pairs to find.  Byte-identical vectors are
+    collapsed before LSH (recall on them is exactly 1 by construction —
+    they are the same group); the LSH+verify machinery only hunts
+    DISTINCT near-identical vectors, on the unique corpus.  The O(N^2)
+    brute-force oracle must agree pair-for-pair.  Shuffle keys: group
+    hash, bucket, then pair ids — never O(N^2) materialization."""
     e = _embeddings_v(spark, sf)
     aug = e.unionByName(
         e.select((F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "v"))
 
+    # exact-collapse-first, same design as the text dedups: byte-identical
+    # vectors (the dominant duplicate mode of replicated corpora — every
+    # planted dup and every corpus replica) collapse BEFORE any LSH work.
+    # cosine(v, v) rounds to exactly 1.0 (sqrt(x)*sqrt(x) is within 1 ulp
+    # of x), so within-group pairs are emitted directly at 1.0 through
+    # the capped/salt-split cascade — EXCEPT zero vectors, whose cosine
+    # is NULL in the oracle (0/0) and therefore excluded there too.
+    # Without this, the x100 corpus (200 copies per vector) spent minutes
+    # verifying ~40M identical pairs one interpreted dot at a time.
+    sq = "aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)"
+    keyed = aug.where(F.expr(sq) > 0).select(
+        F.md5(F.col("v").cast("string")).alias("gk"), "vec_id")
+    grp = keyed.groupBy("gk").agg(F.min("vec_id").alias("rep"))
+    dup_pairs = (_bucket_pairs(keyed, "gk", "vec_id", LSH_BUCKET_CAP,
+                               unique_keys=True)
+                 .select(F.col("a").alias("vec_a"),
+                         F.col("b").alias("vec_b"),
+                         F.lit(1.0).alias("cosine")))
+    membership = (keyed.join(grp, "gk").select("vec_id", "rep").persist())
+    reps = aug.join(grp.select(F.col("rep").alias("vec_id")), "vec_id")
+
+    # nplanes parameterized on the full corpus size (one metadata-cheap
+    # count); the unique-vector corpus is <= that, so buckets only shrink
     p = _lsh_nplanes(2 * e.count())
-    buckets = aug.select("vec_id", "v", _lsh_sig_col(0, p).alias("bucket"))
+    buckets = reps.select("vec_id", "v", _lsh_sig_col(0, p).alias("bucket"))
     refine = _lsh_sig_col(p, _LSH_MAX_PLANES) if p < _LSH_MAX_PLANES \
         else None
     cand = (_bucket_pairs(buckets, "bucket", "vec_id", LSH_BUCKET_CAP,
                           refine=refine)
-            .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b")))
+            .select(F.col("a").alias("rep_a"), F.col("b").alias("rep_b")))
 
-    va = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    va = reps.select(F.col("vec_id").alias("rep_a"), F.col("v").alias("va"))
+    vb = reps.select(F.col("vec_id").alias("rep_b"), F.col("v").alias("vb"))
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, "
                  "(acc, x) -> acc + x)")
     na = F.expr("sqrt(aggregate(transform(va, x -> x * x), 0D, "
@@ -1763,9 +1787,18 @@ def dedup_embedding_cosine(spark, sf):
     nb = F.expr("sqrt(aggregate(transform(vb, x -> x * x), 0D, "
                 "(acc, x) -> acc + x))")
     cos = F.round(dot / (na * nb), 4)
-    return (cand.join(va, "vec_a").join(vb, "vec_b")
-                .select("vec_a", "vec_b", cos.alias("cosine"))
-                .where(F.col("cosine") >= 0.99))
+    rep_pairs = (cand.join(va, "rep_a").join(vb, "rep_b")
+                     .select("rep_a", "rep_b", cos.alias("cosine"))
+                     .where(F.col("cosine") >= 0.99))
+    m_a = membership.select(F.col("rep").alias("rep_a"),
+                            F.col("vec_id").alias("ia"))
+    m_b = membership.select(F.col("rep").alias("rep_b"),
+                            F.col("vec_id").alias("ib"))
+    cross = (rep_pairs.join(m_a, "rep_a").join(m_b, "rep_b")
+             .select(F.least("ia", "ib").alias("vec_a"),
+                     F.greatest("ia", "ib").alias("vec_b"), "cosine"))
+    return cross.unionByName(dup_pairs) \
+                .select("vec_a", "vec_b", "cosine")
 
 
 SQL_DEDUP_EMBEDDING_COSINE = f"""
