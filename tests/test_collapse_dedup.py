@@ -1,0 +1,127 @@
+"""Differential guards for the exact-collapse-first dedup rewrites
+(round 3): the driver's parity corpus (sf0.01) contains almost no exact
+full-text duplicates, so the collapse -> signature-on-uniques -> pair
+re-expansion path is barely exercised there.  These tests build a
+DUPLICATION-HEAVY corpus (groups of 1..50 copies, a >=0.8-Jaccard
+near-dup family, cross-lang copies, shingle-less short texts) and check
+the Spark results pair-for-pair against the same DuckDB brute-force
+oracles the driver uses.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from sparklog.queries import (
+    REGISTRY,
+    SQL_DEDUP_EMBEDDING_COSINE,
+    SQL_DEDUP_MINHASH_LSH,
+    SQL_DEDUP_NGRAM_JACCARD,
+)
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango "
+         "uniform victor whiskey xray yankee zulu one two three four five "
+         "six seven eight nine ten eleven twelve thirteen fourteen").split()
+
+
+def _mk_text(seed: int, n: int = 40) -> str:
+    return " ".join(WORDS[(seed * 7 + i * 3) % len(WORDS)] for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(spark, tmp_path_factory):
+    rows = []
+    doc_id = 1000
+    # ten distinct texts with copy counts 1..50 (several exact-dup groups)
+    for seed, copies in enumerate([1, 2, 3, 5, 8, 13, 1, 1, 30, 50]):
+        text = _mk_text(seed)
+        for _ in range(copies):
+            rows.append((doc_id, text, "en", "web"))
+            doc_id += 7  # non-contiguous ids so rep=min is non-trivial
+    # near-dup family: last word changed -> 3 of 41 distinct shingles
+    # differ, J = 35/41 ~ 0.854 >= 0.8; 4 copies of the variant
+    variant = _mk_text(0).rsplit(" ", 1)[0] + " zulu"
+    for _ in range(4):
+        rows.append((doc_id, variant, "en", "web"))
+        doc_id += 7
+    # same text, different lang: ngram blocks on (lang, source) so no
+    # cross-lang pair; minhash groups on text alone so pairs DO form
+    rows.append((doc_id, _mk_text(1), "fr", "web")); doc_id += 7
+    rows.append((doc_id, _mk_text(1), "fr", "web")); doc_id += 7
+    # shingle-less short texts (three identical copies): excluded
+    # everywhere (oracle len(words) >= 3 / union > 0 guards)
+    for _ in range(3):
+        rows.append((doc_id, "too short", "en", "web"))
+        doc_id += 7
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path_factory.mktemp("dupcorpus"))
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(
+        f"{d}/documents.parquet")
+    return d
+
+
+def _oracle(sf_dir: str, table: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    # Spark writes a DIRECTORY of part files; duckdb needs the glob form
+    con.execute(f"CREATE VIEW {table} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{table}.parquet/*.parquet')")
+    return con.execute(sql).df()
+
+
+def _pairs(df: pd.DataFrame) -> set:
+    cols = list(df.columns)
+    return {tuple(round(v, 4) if isinstance(v, float) else int(v)
+                  for v in row)
+            for row in df[cols].itertuples(index=False)}
+
+
+def test_ngram_collapse_matches_bruteforce_on_dup_heavy(spark,
+                                                        dup_docs_dir):
+    got = REGISTRY["dedup_ngram_jaccard"][0](spark, dup_docs_dir).toPandas()
+    want = _oracle(dup_docs_dir, "documents", SQL_DEDUP_NGRAM_JACCARD)
+    assert _pairs(got) == _pairs(want)
+    # the corpus really exercises the paths: big within-group families,
+    # plus cross-GROUP near-dup pairs between base and variant copies
+    assert len(want) > 50 * 49 // 2
+    assert (want["jaccard"] < 1.0).any(), "no cross-group near-dup pairs"
+
+
+def test_minhash_collapse_matches_bruteforce_on_dup_heavy(spark,
+                                                          dup_docs_dir):
+    got = REGISTRY["dedup_minhash_lsh"][0](spark, dup_docs_dir).toPandas()
+    want = _oracle(dup_docs_dir, "documents", SQL_DEDUP_MINHASH_LSH)
+    assert _pairs(got) == _pairs(want)
+    assert len(want) > 50 * 49 // 2
+
+
+@pytest.fixture(scope="module")
+def dup_embeddings_dir(spark, tmp_path_factory):
+    rows = []
+    vec_id = 100
+    for seed, copies in enumerate([1, 2, 5, 30, 1, 1, 8]):
+        vec = [((seed * 31 + j * 17) % 97 - 48) / 7.0 for j in range(64)]
+        for _ in range(copies):
+            rows.append((vec_id, vec))
+            vec_id += 3
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    d = str(tmp_path_factory.mktemp("dupvecs"))
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    spark.createDataFrame(pdf, schema).coalesce(2).write.parquet(
+        f"{d}/embeddings.parquet")
+    return d
+
+
+def test_embedding_collapse_matches_bruteforce_on_dup_heavy(
+        spark, dup_embeddings_dir):
+    got = (REGISTRY["dedup_embedding_cosine"][0](spark, dup_embeddings_dir)
+           .toPandas())
+    want = _oracle(dup_embeddings_dir, "embeddings",
+                   SQL_DEDUP_EMBEDDING_COSINE)
+    assert _pairs(got) == _pairs(want)
+    # the 30-copy group alone (x2 with planted duplicates) dominates
+    assert len(want) >= 60 * 59 // 2
