@@ -354,15 +354,18 @@ def parse_rfc5424_fast(raw):
     refine &= is_nil_sd | (is_open & (has_term | ends_br))
 
     # codepoint-safe slice: _suffix's byte slicing would split a multi-byte
-    # char at bytes 1-2 of an SD/MSG field (e.g. "[é..." / "€msg") on the
-    # non-nil rows this is computed for eagerly, making utf8_trim raise and
-    # killing the whole batch; utf8_slice_codeunits walks codepoints and
-    # matches the slow path's r6.str.slice(2) exactly.  Gated on nil rows
-    # actually existing — it is a ~260 ns/row codepoint walk over the
-    # whole batch otherwise.
+    # char at bytes 1-2 of an SD/MSG field (e.g. "[é..." / "€msg"),
+    # making utf8_trim raise and killing the whole batch;
+    # utf8_slice_codeunits walks codepoints and matches the slow path's
+    # r6.str.slice(2) exactly.  Computed on the FILTERED nil subset and
+    # scattered back with take, so the ~260 ns/row codepoint walk costs
+    # proportionally to the batch's NILVALUE fraction (zero for SD-heavy
+    # batches) instead of running over every row.
     if is_nil_sd.any():
-        nil_msg = pc.utf8_trim(
-            pc.utf8_slice_codeunits(rest_sd, 2, 2 ** 30), " ")
+        nil_vals = pc.utf8_trim(pc.utf8_slice_codeunits(
+            pc.filter(rest_sd, pa.array(is_nil_sd)), 2, 2 ** 30), " ")
+        scatter = np.maximum(np.cumsum(is_nil_sd) - 1, 0)
+        nil_msg = pc.take(nil_vals, pa.array(scatter))
         sd = pc.if_else(pa.array(is_nil_sd), pa.scalar("-", pa.string()),
                         sd_blocks)
         msg = pc.if_else(pa.array(is_nil_sd), nil_msg, msg_blocks)
