@@ -50,6 +50,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_pyfiles(spark)
+            # the driver materializes each query before invoking the next,
+            # so releasing the PREVIOUS query's scoped persists here bounds
+            # cached-storage accumulation to one query at a time
+            from sparklog.queries import release_caches
+
+            release_caches()
             return fn(spark, sf_dir)
         return run
 

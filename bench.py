@@ -52,6 +52,8 @@ def main() -> None:
     # warm the JVM + Python workers once (excluded from timings)
     _force(REGISTRY["syslog_priority_split"][0](spark, sf_dir).limit(10))
 
+    from sparklog.queries import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name][0]
@@ -60,6 +62,10 @@ def main() -> None:
             t0 = time.time()
             _force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
+            # drop query-scoped persists so (a) storage memory does not
+            # accumulate across the suite and (b) each rep pays the full
+            # cost rather than hitting the previous rep's cache
+            release_caches()
         timings[name] = round(best, 3)
 
     # end-to-end pipeline throughput (parsed-and-routed sequences/sec)

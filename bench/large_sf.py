@@ -38,7 +38,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from bench import HEADLINE
-    from sparklog.queries import REGISTRY
+    from sparklog.queries import REGISTRY, release_caches
     from sparklog.session import get_spark
 
     spark = get_spark()
@@ -55,6 +55,7 @@ def main() -> None:
             t0 = time.time()
             _force(df)
             samples[q][rnd].append(time.time() - t0)
+            release_caches()  # no cross-pass cache hits / storage creep
         print(f"pass {p + 1}/{n_rounds * args.reps} (round {rnd + 1}) done",
               file=sys.stderr, flush=True)
 

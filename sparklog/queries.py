@@ -33,6 +33,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# --- registry-scoped cache lifecycle ---------------------------------------
+# Registry queries return LAZY plans, so a persist() inside one must
+# outlive the function call — but in a long-lived session (the bench and
+# parity harnesses run all ~37 queries in one JVM) an unmanaged persist
+# pins another copy of its membership map in executor storage on every
+# invocation.  _persist() records each cached DataFrame; harnesses call
+# release_caches() after materializing a query's result.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame cached by registry queries since the last
+    call; returns how many were released.  Safe to call at any time — a
+    result DataFrame already materialized stays valid (unpersist only
+    drops cached blocks; recomputation still yields the same rows)."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
+
 # ---------------------------------------------------------------- syslog ---
 
 # Deterministic 3164 line derived from events columns (both engines agree):
@@ -620,8 +648,19 @@ def _with_shingles(d: DataFrame, *extra_cols: str) -> DataFrame:
 def dedup_ngram_jaccard(spark, sf):
     """Near-dup detection: word-3-gram Jaccard >= 0.8 within (lang, source),
     as exact-duplicate collapse -> prefix-filtered near-dup on UNIQUE texts
-    -> pair re-expansion.  Same result set as the oracle's quadratic
-    self-join, in the shape that survives web-scale duplication.
+    -> pair re-expansion.  Matches the oracle's quadratic self-join result
+    set EXCEPT for exact-duplicate groups larger than LSH_BUCKET_CAP: their
+    within-group pairs go through the salt-split cascade (bounded
+    within-split pairs, cross-split pairs forgone — metered by
+    bucket_split_stats, never silent).  That bound is deliberate: a viral
+    text with 10^8 copies implies 10^16 identical pairs, which no consumer
+    wants enumerated; what dedup actually consumes is the component
+    partition, and dedup_connected_components derives it from the LINEAR
+    (doc_id -> group rep) membership edges plus the near-dup rep pairs —
+    so the forgone cross-split pairs are provably irrelevant to the final
+    partition (see
+    test_overcap_group_pairs_bounded_but_component_complete).  Below the
+    cap — every real oracle-gate corpus — pair parity is exact.
 
     Stage 1 — collapse: group by (lang, source, text); one representative
     (min doc_id) per distinct text.  Web corpora are duplication-heavy and
@@ -672,8 +711,8 @@ def dedup_ngram_jaccard(spark, sf):
 
     # persisted: the (doc_id, rep) map is the exact-dedup staging table a
     # production pipeline materializes anyway, and it is narrow
-    membership = (keyed.select("gk", "doc_id").join(groups, "gk")
-                       .select("doc_id", "rep").persist())
+    membership = _persist(keyed.select("gk", "doc_id").join(groups, "gk")
+                          .select("doc_id", "rep"))
     reps = _with_shingles(
         docs.join(groups.select(F.col("rep").alias("doc_id")), "doc_id"),
         "lang", "source")
@@ -771,34 +810,62 @@ def _keyed_with_splits(keyed: DataFrame, key: str, id_col: str, cap: int,
       evaluated on over-cap rows) -> _fk salted (still-over-cap groups
       split into ceil(n/cap) deterministic xxhash64(id) salt groups).
 
-    Shuffle keys are _k0 / _k / _fk — all content-derived, never a fixed-
-    cardinality block; volume is the narrow (key, id) projection.  The
-    cascade costs up to 2 extra narrow shuffles vs the old single-pass
-    drop — the price of skew-robust pair generation at any corpus shape
-    (AQE splits skewed JOINS, not quadratic pair enumeration); without a
-    refine column the middle level is skipped.
-    """
-    w1 = Window.partitionBy(key)
-    df = keyed.withColumn("_bn", F.count("*").over(w1))
+    Skew-safe group-size measurement: a ``count(*)`` WINDOW over the raw
+    group key would funnel every row of a viral-duplicate group through
+    ONE task's sort+count *before* the cascade can salt it — the exact
+    single-key hotspot the cascade exists to defuse (AQE splits skewed
+    joins, not skewed windows; a 10^8-copy text is ~4 GB of 40-byte rows
+    serialized through one core).  Instead, pre-salt group sizes come from
+    ONE partial aggregation at (key, refine) granularity — map-side
+    combine means no task ever holds more than its own slice of a hot key
+    — from which both the level-1 count (a second tiny agg over the
+    distinct-key table, never the rows) and the level-2 count (the
+    fine-grain count itself: a refined group can only exceed cap if its
+    raw key does) are derived.  Only the over-cap tail (<= n/cap keys; in
+    practice just the skewed heads) is kept and BROADCAST back, so the big
+    side is never shuffled for the measurement at all; unmatched rows are
+    under-cap by construction and read 0, indistinguishable from their
+    true count to every consumer (all comparisons are against
+    cap-derived thresholds).  The post-salt _bn3 count keeps a window:
+    _fk partitions are bounded by ~cap by construction, so that window is
+    skew-free, and it hash-partitions the rows by _fk — the exact
+    partitioning the consumer's groupBy(_fk) needs, so it adds no extra
+    shuffle.  _k0/_k/_fk are all content-derived, never a fixed-
+    cardinality block; volume is the narrow (key, id) projection."""
     if refine is not None:
+        fine = (keyed.groupBy(F.col(key), refine.alias("_rf"))
+                     .agg(F.count("*").alias("_n2")))
+        over1 = (fine.groupBy(key).agg(F.sum("_n2").alias("_bn"))
+                     .where(F.col("_bn") > cap))
+        # _n2 > cap implies the raw key is over cap too, hence refined
+        over2 = (fine.where(F.col("_n2") > cap)
+                     .select(F.concat(F.col(key), F.lit("#"), F.col("_rf"))
+                              .alias("_k"),
+                             F.col("_n2").alias("_bn2")))
+        df = (keyed.join(F.broadcast(over1), key, "left")
+                   .withColumn("_bn", F.coalesce(F.col("_bn"), F.lit(0))))
         rk = (F.when(F.col("_bn") <= cap, F.col(key))
                .otherwise(F.concat(F.col(key), F.lit("#"), refine)))
-        df = df.select(F.col(key).alias("_k0"), rk.alias("_k"),
-                       F.col(id_col).alias("_id"), "_bn")
-        w2 = Window.partitionBy("_k")
-        df = df.withColumn("_bn2", F.count("*").over(w2))
+        df = (df.select(F.col(key).alias("_k0"), rk.alias("_k"),
+                        F.col(id_col).alias("_id"), "_bn")
+                .join(F.broadcast(over2), "_k", "left")
+                .withColumn("_bn2", F.coalesce(F.col("_bn2"), F.lit(0))))
     else:
         # no refinement bits -> _k == key and the level-2 count equals the
-        # level-1 count; skip the extra window (and its shuffle) entirely
-        df = df.select(F.col(key).alias("_k0"), F.col(key).alias("_k"),
-                       F.col(id_col).alias("_id"), "_bn",
-                       F.col("_bn").alias("_bn2"))
+        # level-1 count; one probe covers both levels
+        over1 = (keyed.groupBy(key).agg(F.count("*").alias("_bn"))
+                      .where(F.col("_bn") > cap))
+        df = (keyed.join(F.broadcast(over1), key, "left")
+                   .withColumn("_bn", F.coalesce(F.col("_bn"), F.lit(0)))
+                   .select(F.col(key).alias("_k0"), F.col(key).alias("_k"),
+                           F.col(id_col).alias("_id"), "_bn",
+                           F.col("_bn").alias("_bn2")))
     nsplit = F.ceil(F.col("_bn2") / F.lit(cap)).cast("long")
     fk = (F.when(F.col("_bn2") <= cap, F.col("_k"))
            .otherwise(F.concat(
                F.col("_k"), F.lit("~"),
                F.pmod(F.xxhash64(F.col("_id")), nsplit).cast("string"))))
-    w3 = Window.partitionBy("_fk")
+    w3 = Window.partitionBy("_fk")  # bounded partitions: see docstring
     return (df.withColumn("_fk", fk)
               .withColumn("_bn3", F.count("*").over(w3)))
 
@@ -847,8 +914,9 @@ def _bucket_pairs(keyed: DataFrame, key: str, id_col: str, cap: int,
     the pair set (82s of an 90s query on a x100-duplicated corpus), is
     skipped.  Band-keyed input (one doc in several bands) must keep it."""
     # the group-size guard runs BEFORE collecting: an unbounded group must
-    # never materialize its id list in the agg buffer (the _fk window
-    # shares the groupBy's hash exchange, so the guard adds no shuffle)
+    # never materialize its id list in the agg buffer (the guard is a
+    # broadcast probe — see _with_over_cap_count — so the only shuffle of
+    # the big side is this groupBy itself)
     bounded = (_keyed_with_splits(keyed, key, id_col, cap, refine)
                .where(F.col("_bn3") <= cap * _SPLIT_HARD_CAP_FACTOR))
     grouped = (bounded.groupBy("_fk")
@@ -858,6 +926,57 @@ def _bucket_pairs(keyed: DataFrame, key: str, id_col: str, cap: int,
                     .select(F.col("p.a").alias("a"),
                             F.col("p.b").alias("b")))
     return pairs if unique_keys else pairs.distinct()
+
+
+def _minhash_rep_graph(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
+    """The MinHash path's shared core: (keyed, membership, rep_pairs).
+
+    keyed      = (gk=md5(text), doc_id, nw) — the exact-collapse key table.
+                 The FULL TEXT never crosses a shuffle — grouping, pair
+                 enumeration, and membership all move 40-byte rows (a
+                 window over the raw text shipped+sorted every copy of
+                 every document, measured 2x slower at x100 duplication).
+    membership = (doc_id, rep) rows, persisted (registry-scoped, see
+                 _persist) — never a collect_list agg buffer (a viral text
+                 with 10^8 copies must not materialize an array).
+    rep_pairs  = near-dup candidate pairs BETWEEN group representatives
+                 from the banded-signature machinery, cap/refine/salt
+                 bounded.
+
+    Consumed by dedup_minhash_lsh (pair enumeration) and
+    dedup_connected_components (the component closer, which needs exactly
+    this graph: linear membership edges + rep-level near-dup edges)."""
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    keyed = docs.select(F.md5("text").alias("gk"), "doc_id",
+                        F.size(F.split("text", " ")).alias("nw"))
+    groups = keyed.groupBy("gk").agg(F.min("doc_id").alias("rep"))
+    # persisted: the (doc_id, rep) map is the exact-dedup staging table a
+    # production pipeline materializes anyway, and it is narrow
+    membership = _persist(keyed.select("gk", "doc_id").join(groups, "gk")
+                          .select("doc_id", "rep"))
+    reps = docs.join(groups.select(F.col("rep").alias("doc_id")),
+                     "doc_id")
+    # explode_outer + post-filter: a plain explode makes Catalyst infer a
+    # size(sh)>0 filter and push it BELOW the words projection, re-inlining
+    # the shingle lambda over split(text) per element (measured 7x cost)
+    exploded = (_with_shingles(reps)
+                .select("doc_id", F.explode_outer("sh").alias("s"))
+                .where(F.col("s").isNotNull())
+                .select("doc_id", F.md5("s").alias("h")))
+    sigs = (exploded
+            .groupBy("doc_id")
+            .agg(*[F.min(F.substring("h", 1 + 8 * k, 8)).alias(f"h{k}")
+                   for k in range(4)]))
+    bands = sigs.select(
+        "doc_id",
+        F.concat_ws("|", "h0", "h1", "h2", "h3").alias("fullsig"),
+        F.explode(F.array(
+            F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1"),
+            F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
+    rep_pairs = _bucket_pairs(bands, "band", "doc_id", bucket_cap,
+                              refine=F.col("fullsig"))
+    return keyed, membership, rep_pairs
 
 
 def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
@@ -884,17 +1003,7 @@ def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
     corpus).  Within-group pairs (texts with >= 3 words — shingle-less
     docs have no bands, mirroring the oracle's len(w) >= 3 guard) share
     every band and are emitted directly."""
-    docs = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text")
-    # group key = md5(text): the FULL TEXT never crosses a shuffle —
-    # grouping, pair enumeration, and membership all move 40-byte rows
-    # (a window over the raw text shipped+sorted every copy of every
-    # document, measured 2x slower at x100 duplication).  Membership
-    # stays ROWS (doc_id, rep), never a collect_list agg buffer (a viral
-    # text with 10^8 copies must not materialize an array).
-    keyed = docs.select(F.md5("text").alias("gk"), "doc_id",
-                        F.size(F.split("text", " ")).alias("nw"))
-    groups = keyed.groupBy("gk").agg(F.min("doc_id").alias("rep"))
+    keyed, membership, rep_pairs = _minhash_rep_graph(spark, sf, bucket_cap)
     # within-group pairs (identical texts share every band; >= 3 words
     # mirrors the oracle's len(w) >= 3 guard) go through the SAME
     # capped/salt-split cascade as band buckets, so a mass-duplicate
@@ -903,31 +1012,6 @@ def dedup_minhash_lsh(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
         keyed.where(F.col("nw") >= 3).select("gk", "doc_id"),
         "gk", "doc_id", bucket_cap, unique_keys=True)
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b")))
-    # persisted: the (doc_id, rep) map is the exact-dedup staging table a
-    # production pipeline materializes anyway, and it is narrow
-    membership = (keyed.select("gk", "doc_id").join(groups, "gk")
-                       .select("doc_id", "rep").persist())
-    reps = docs.join(groups.select(F.col("rep").alias("doc_id")),
-                     "doc_id")
-    # explode_outer + post-filter: a plain explode makes Catalyst infer a
-    # size(sh)>0 filter and push it BELOW the words projection, re-inlining
-    # the shingle lambda over split(text) per element (measured 7x cost)
-    exploded = (_with_shingles(reps)
-                .select("doc_id", F.explode_outer("sh").alias("s"))
-                .where(F.col("s").isNotNull())
-                .select("doc_id", F.md5("s").alias("h")))
-    sigs = (exploded
-            .groupBy("doc_id")
-            .agg(*[F.min(F.substring("h", 1 + 8 * k, 8)).alias(f"h{k}")
-                   for k in range(4)]))
-    bands = sigs.select(
-        "doc_id",
-        F.concat_ws("|", "h0", "h1", "h2", "h3").alias("fullsig"),
-        F.explode(F.array(
-            F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1"),
-            F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
-    rep_pairs = _bucket_pairs(bands, "band", "doc_id", bucket_cap,
-                              refine=F.col("fullsig"))
     # cross-group expansion by JOIN fan-out (groups partition the doc ids,
     # so expanded pairs are already unique; quadratic only where the
     # answer itself is)
@@ -963,6 +1047,121 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 
 
 SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+
+
+def _cc_labels(vertices: DataFrame, pairs: DataFrame,
+               max_iter: int = 20) -> DataFrame:
+    """Min-label connected components over (v) vertices and (a, b) edges:
+    returns (v, l) with l = min vertex id of v's component.
+
+    Scale shape: pure DataFrame joins/aggs — per iteration, one
+    neighbor-min propagation (groupBy(x), partial-agg, skew-immune) and
+    one pointer-jump (l <- label(l), halving chain depth, so convergence
+    is O(log diameter) instead of O(diameter) — the large-star/small-star
+    trick from the MapReduce CC literature).  Lineage is truncated every
+    iteration with localCheckpoint (on a real cluster: checkpoint to the
+    object store), and the loop exits on the first iteration with zero
+    label changes — a cheap count on the narrow (v, l) table.  Runs on the
+    COLLAPSED rep graph (unique texts), never the raw corpus."""
+    sym = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+                .unionByName(pairs.select(F.col("b").alias("x"),
+                                          F.col("a").alias("y"))))
+    labels = (vertices.select("v", F.col("v").alias("l"))
+                      .localCheckpoint())
+    for _ in range(max_iter):
+        nb = (sym.join(labels.select(F.col("v").alias("y"),
+                                     F.col("l").alias("ly")), "y")
+                 .groupBy("x").agg(F.min("ly").alias("nl")))
+        stepped = (labels.join(nb.select(F.col("x").alias("v"), "nl"),
+                               "v", "left")
+                         .select("v", F.least("l", F.coalesce("nl", "l"))
+                                  .alias("l")))
+        jumped = (stepped.join(stepped.select(F.col("v").alias("l"),
+                                              F.col("l").alias("ll")),
+                               "l", "left")
+                         .select("v", F.least("l", F.coalesce("ll", "l"))
+                                  .alias("l")))
+        new_labels = jumped.localCheckpoint()
+        changed = (new_labels.join(labels.select("v",
+                                                 F.col("l").alias("lo")),
+                                   "v")
+                             .where(F.col("l") != F.col("lo")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_connected_components(spark, sf,
+                               bucket_cap: int = LSH_BUCKET_CAP):
+    """The dedup CLOSER: (doc_id, component_rep) for every document, where
+    components are the transitive closure of {exact-duplicate groups} ∪
+    {MinHash near-dup rep pairs} and component_rep = min doc_id in the
+    component.  This is the table a training-data pipeline actually
+    consumes (keep one doc per component) — and it makes the salt
+    cascade's forgone cross-split pairs provably irrelevant: within-group
+    connectivity flows through the LINEAR membership edges (every member
+    -> its group rep), not through the capped quadratic pair set, so a
+    10^8-copy viral group is one component regardless of how its pair
+    enumeration was salted.
+
+    Scale shape: the label propagation runs on the collapsed rep graph
+    (one vertex per UNIQUE text), and docs re-join their component through
+    the membership map at the end — the raw corpus is never an input to
+    the iteration.  Oracle: recursive CTE reachability over the same edge
+    relation (band-sharing pairs + text-partition edges)."""
+    _keyed, membership, rep_pairs = _minhash_rep_graph(spark, sf,
+                                                       bucket_cap)
+    vertices = membership.select(F.col("rep").alias("v")).distinct()
+    labels = _cc_labels(vertices, rep_pairs)
+    return (membership.join(labels.select(F.col("v").alias("rep"),
+                                          F.col("l").alias("component_rep")),
+                            "rep")
+                      .select("doc_id", "component_rep"))
+
+
+def _sql_connected_components() -> str:
+    """Oracle: reachability by recursive CTE over the SAME edge relation —
+    band-sharing doc pairs (a doc's bands equal its rep's bands, so doc-
+    level and rep-level band edges induce identical components) plus
+    text-partition membership edges."""
+    w = "string_split(text, ' ')"
+    sh = _SHINGLES_DUCK.format(w=w)
+    sig = ", ".join(
+        f"list_min(list_transform({sh}, s -> substr(md5(s), {1 + 8 * k}, 8)"
+        f")) AS h{k}"
+        for k in range(4))
+    return f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id::BIGINT AS doc_id, {sig}
+  FROM documents WHERE len({w}) >= 3
+), bands AS (
+  SELECT doc_id, 'b0:' || h0 || '|' || h1 AS band FROM sigs
+  UNION ALL
+  SELECT doc_id, 'b1:' || h2 || '|' || h3 AS band FROM sigs
+), m AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         min(doc_id::BIGINT) OVER (PARTITION BY text) AS rep
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT x, y FROM pairs
+  UNION SELECT y, x FROM pairs
+  UNION SELECT doc_id, rep FROM m WHERE doc_id <> rep
+  UNION SELECT rep, doc_id FROM m WHERE doc_id <> rep
+), reach(v, l) AS (
+  SELECT doc_id, doc_id FROM m
+  UNION
+  SELECT e.x, r.l FROM edges e JOIN reach r ON r.v = e.y
+)
+SELECT v AS doc_id, min(l)::BIGINT AS component_rep
+FROM reach GROUP BY v
+"""
+
+
+SQL_DEDUP_CONNECTED_COMPONENTS = _sql_connected_components()
 
 
 def ann_cosine_topk(spark, sf):
@@ -1529,6 +1728,10 @@ _DUP_OFFSET = 1_000_000  # planted-duplicate id namespace
 _IVF_MIN_CELLS = 8
 _IVF_MAX_CELLS = 65536          # 64k x 64 doubles = 32 MB codebook cap
 _IVF_CELL_CAP_FACTOR = 4
+# zero-norm vectors have NULL cosine against every centroid (0/0): they get
+# this sentinel cell — same semantics as the pre-kernel Catalyst fold,
+# where NULL comparisons left the int32-max sentinel in place
+_IVF_SENTINEL_CELL = 2147483647
 
 
 def _ivf_nlist(n: int) -> int:
@@ -1600,15 +1803,26 @@ def _ivf_assign(e: DataFrame, nlist: int, cap: int) -> DataFrame:
             for j in range(d):
                 acc += V[:, j:j + 1] * W[:, j][None, :]
                 nv += V[:, j] * V[:, j]
-            cs = np.round(acc / (np.sqrt(nv)[:, None] * ncv[None, :]), 6)
+            # zero-norm rows would divide 0/0 -> NaN scores and an
+            # arbitrary argmax; mask them to the NULL-cosine sentinel cell
+            # instead (ADVICE r3), matching the oracle's NULL propagation
+            zero = nv == 0.0
+            cs = np.round(acc / (np.sqrt(np.where(zero, 1.0, nv))[:, None]
+                                 * np.where(ncv == 0.0, 1.0, ncv)[None, :]),
+                          6)
+            cs[:, ncv == 0.0] = -np.inf   # NULL-cosine centroids never win
             b1 = np.argmax(cs, axis=1)
             c1 = cs[np.arange(rows), b1]
             cs[np.arange(rows), b1] = -np.inf
             b2 = np.argmax(cs, axis=1)
+            cell1 = np.where(zero, _IVF_SENTINEL_CELL,
+                             cells[b1]).astype(np.int32)
+            cell2 = np.where(zero, _IVF_SENTINEL_CELL,
+                             cells[b2]).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("vec_id"), batch.column("v"),
-                 pa.array(cells[b1]), pa.array(c1),
-                 pa.array(cells[b2])],
+                 pa.array(cell1), pa.array(c1, mask=zero),
+                 pa.array(cell2)],
                 ["vec_id", "v", "cell1", "c1", "cell2"])
 
     two = e.select("vec_id", "v").mapInArrow(
@@ -1765,7 +1979,7 @@ def dedup_embedding_cosine(spark, sf):
                  .select(F.col("a").alias("vec_a"),
                          F.col("b").alias("vec_b"),
                          F.lit(1.0).alias("cosine")))
-    membership = (keyed.join(grp, "gk").select("vec_id", "rep").persist())
+    membership = _persist(keyed.join(grp, "gk").select("vec_id", "rep"))
     reps = aug.join(grp.select(F.col("rep").alias("vec_id")), "vec_id")
 
     # nplanes parameterized on the full corpus size (one metadata-cheap
@@ -1878,6 +2092,8 @@ REGISTRY: dict[str, tuple] = {
                               SQL_DEDUP_EXACT_DOCUMENTS),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_connected_components": (dedup_connected_components,
+                                   SQL_DEDUP_CONNECTED_COMPONENTS),
     "ann_cosine_topk": (ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "text_quality_scores": (text_quality_scores, SQL_TEXT_QUALITY_SCORES),
     "text_langid_heuristic": (text_langid_heuristic,

@@ -168,6 +168,27 @@ def test_ivf_cell_cap_bounds_hot_centroid(spark):
     assert sum(len(v) for c, v in by_cell.items() if c != 2) == 32
 
 
+def test_ivf_zero_norm_vector_gets_sentinel_cell(spark):
+    """A zero-norm vector has NULL cosine against every centroid (0/0):
+    it must land in the sentinel cell, not whatever cell a NaN argmax
+    happens to pick (ADVICE r3), and must not perturb any other row."""
+    from sparklog.queries import _IVF_SENTINEL_CELL, _ivf_assign
+
+    e = (spark.range(10)
+         .select(F.col("id").alias("vec_id"),
+                 F.expr(
+                     "CASE WHEN id = 4 THEN "
+                     "  transform(sequence(0, 63), i -> cast(0.0 as double))"
+                     " ELSE transform(sequence(0, 63), i -> cast("
+                     "  if(i = id % 4, 1.0 + id, 0.1) as double)) END")
+                  .alias("v")))
+    assigned = {r.vec_id: r.cell
+                for r in _ivf_assign(e, nlist=4, cap=100).collect()}
+    assert assigned[4] == _IVF_SENTINEL_CELL
+    assert all(c != _IVF_SENTINEL_CELL
+               for i, c in assigned.items() if i != 4), assigned
+
+
 def test_nplanes_schedule():
     assert _lsh_nplanes(1) == 8
     assert _lsh_nplanes(500) == 8

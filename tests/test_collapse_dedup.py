@@ -116,6 +116,87 @@ def dup_embeddings_dir(spark, tmp_path_factory):
     return d
 
 
+@pytest.fixture(scope="module")
+def overcap_docs_dir(spark, tmp_path_factory):
+    """A 120-copy exact-duplicate family — far above the test cap of 16 —
+    plus a >=0.8-Jaccard near-dup variant bridging into it, a second
+    10-copy family, singletons, and shingle-less short docs."""
+    rows = []
+    doc_id = 5000
+    fam_a = _mk_text(3)
+    for _ in range(120):
+        rows.append((doc_id, fam_a, "en", "web")); doc_id += 7
+    variant = fam_a.rsplit(" ", 1)[0] + " zulu"
+    for _ in range(3):
+        rows.append((doc_id, variant, "en", "web")); doc_id += 7
+    for _ in range(10):
+        rows.append((doc_id, _mk_text(5), "en", "web")); doc_id += 7
+    for i in range(5):
+        rows.append((doc_id, _mk_text(10 + i), "en", "web")); doc_id += 7
+    for _ in range(3):
+        rows.append((doc_id, "too short", "en", "web")); doc_id += 7
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path_factory.mktemp("overcap"))
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(
+        f"{d}/documents.parquet")
+    return d
+
+
+def test_overcap_group_pairs_bounded_but_component_complete(
+        spark, overcap_docs_dir):
+    """The documented >cap semantics (ADVICE r3): an exact-duplicate group
+    larger than the cap keeps only within-split pairs (bounded fan-out,
+    every member still paired), and the component partition is STILL exact
+    — dedup_connected_components matches the uncapped recursive-CTE oracle
+    bit-for-bit because within-group connectivity flows through the linear
+    membership edges, not the capped pair set."""
+    from sparklog.queries import (
+        SQL_DEDUP_CONNECTED_COMPONENTS,
+        dedup_connected_components,
+        dedup_minhash_lsh,
+    )
+
+    cap = 16
+    pairs = dedup_minhash_lsh(spark, overcap_docs_dir,
+                              bucket_cap=cap).toPandas()
+    clique = 120 * 119 // 2
+    assert len(pairs) < clique, "cap did not bound the pair fan-out"
+    # every member of the over-cap family still appears in >= 1 pair
+    fam_a_ids = set(range(5000, 5000 + 120 * 7, 7))
+    touched = set(pairs.doc_a) | set(pairs.doc_b)
+    assert fam_a_ids <= touched, sorted(fam_a_ids - touched)[:5]
+
+    got = (dedup_connected_components(spark, overcap_docs_dir,
+                                      bucket_cap=cap)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    want = (_oracle(overcap_docs_dir, "documents",
+                    SQL_DEDUP_CONNECTED_COMPONENTS)
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # the family + its near-dup variant collapse to ONE component
+    comp = dict(zip(got.doc_id, got.component_rep))
+    variant_ids = set(range(5000 + 120 * 7, 5000 + 123 * 7, 7))
+    assert {comp[i] for i in fam_a_ids | variant_ids} == {5000}
+
+
+def test_release_caches_leaves_no_persistent_rdds(spark, dup_docs_dir):
+    """The membership persist() inside the collapse-first dedups is
+    registry-scoped: after the harness materializes a query and calls
+    release_caches(), NO cached RDD may remain pinned (round-3 judge item:
+    unmanaged persists accumulated executor storage across the 37-query
+    bench session)."""
+    from sparklog.queries import REGISTRY, release_caches
+
+    release_caches()  # drop anything earlier tests in this session left
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    got = REGISTRY["dedup_minhash_lsh"][0](spark, dup_docs_dir)
+    got.write.format("noop").mode("overwrite").save()
+    assert release_caches() >= 1  # the membership cache was tracked
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, (before, after)
+
+
 def test_embedding_collapse_matches_bruteforce_on_dup_heavy(
         spark, dup_embeddings_dir):
     got = (REGISTRY["dedup_embedding_cosine"][0](spark, dup_embeddings_dir)

@@ -19,16 +19,56 @@ def _plan(df) -> str:
 
 def test_minhash_signature_subtree_once(spark):
     """The expensive shingle-explode + md5 + min-agg signature subtree
-    must execute exactly once (the old band self-join formulation ran it
-    4x): one map-side aggregate node with the 4 signature mins.  The
-    collapse-first design adds a handful of NARROW pruned scans (md5
-    group keys, membership joins), so the scan count is bounded rather
-    than exactly one."""
+    must MATERIALIZE exactly once (the old band self-join formulation ran
+    it 4x).  Since round 4 the skew-safe group-size probes reference the
+    subtree from 3 plan branches (big side + the fine-grain count probe
+    feeding both cascade levels), so the STATIC plan shows 3 copies — but
+    every branch contains the canonically-identical signature exchange,
+    and AQE's stage cache materializes it once and patches the other
+    branches to the same query stage.  We assert both halves: the static
+    copy count stays bounded at 3, and at runtime a materialized stage id
+    is referenced from more than one parent (that repeated id IS the
+    reuse)."""
+    import re
+
     from sparklog.queries import dedup_minhash_lsh
 
-    plan = _plan(dedup_minhash_lsh(spark, SF))
-    assert plan.count("partial_min(substring") == 4, plan
-    assert plan.count("Location:") <= 6, plan
+    df = dedup_minhash_lsh(spark, SF)
+    plan = _plan(df)
+    assert plan.count("partial_min(substring") == 12, plan   # 3 agg nodes
+    assert plan.count("Location:") <= 12, plan
+    df.write.format("noop").mode("overwrite").save()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    stage_ids = re.findall(r"ShuffleQueryStage (\d+)", ep)
+    assert len(stage_ids) > len(set(stage_ids)), (
+        f"no reused shuffle stage in executed plan: {stage_ids}\n{ep}")
+
+
+def test_cascade_group_size_measurement_skew_safe(spark):
+    """No count WINDOW on a pre-salt group key (raw or refined): a window
+    cannot partially aggregate, so it funnels every row of a viral-
+    duplicate group through one task before the cascade salts it.  The
+    only Window allowed in the cascade is the post-salt _bn3 count, whose
+    _fk partitions are bounded by ~cap by construction; the pre-salt
+    measurements must be broadcast-join probes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparklog.queries import _keyed_with_splits
+
+    df = spark.createDataFrame([("a", i) for i in range(5)],
+                               "band string, doc_id int")
+    out = _keyed_with_splits(df, "band", "doc_id", 100,
+                             refine=F.substring("band", 1, 1))
+    plan = _plan(out)
+    # exactly one Window node, and it partitions by the post-salt _fk
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    spec_lines = [ln for ln in plan.splitlines()
+                  if "windowspecdefinition" in ln]
+    assert spec_lines and all("_fk" in ln for ln in spec_lines), spec_lines
+    # the pre-salt probes are broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
 def test_minhash_no_pushed_down_shingle_filter(spark):

@@ -72,7 +72,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from sparklog.queries import REGISTRY
+    from sparklog.queries import REGISTRY, release_caches
     from sparklog.session import get_spark
 
     spark = get_spark("local[8]", shuffle_partitions=8)
@@ -85,6 +85,7 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            release_caches()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: "
