@@ -90,6 +90,17 @@ def main() -> None:
         pipe_sec = min(pipe_sec, time.time() - t0)
     timings["pipeline_parse_route"] = round(pipe_sec, 3)
 
+    # per-run dedup observability (untimed): the cap-cascade metrics table
+    # a production dedup invocation writes next to its outputs
+    from sparklog.queries import dedup_path_metrics
+
+    bucket_metrics = {r["path"]: {
+        k: r[k] for k in ("n_rows", "n_buckets", "n_over_cap_buckets",
+                          "n_refined_rows", "n_salted_rows",
+                          "n_dropped_rows")}
+        for r in dedup_path_metrics(spark, sf_dir).collect()}
+    release_caches()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_sec",
@@ -99,6 +110,7 @@ def main() -> None:
         "sf": sf_dir,
         "pipeline_rows": BENCH_ROWS,
         "pipeline_rows_per_sec": round(BENCH_ROWS / pipe_sec, 1),
+        "dedup_bucket_metrics": bucket_metrics,
     }))
 
 

@@ -143,6 +143,73 @@ def run_pipeline(spark: SparkSession, src_path: str, out_dir: str,
     return stats
 
 
+def run_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Dedup job over the documents/embeddings tables: near-dup pairs, the
+    component partition (what downstream keep-one-per-component actually
+    consumes), and the per-path cap-cascade observability table — written
+    with the same manifest/stage pattern as run_pipeline, metrics beside
+    outputs the way parse_metrics sits beside the sinks."""
+    from .queries import (
+        dedup_connected_components,
+        dedup_minhash_lsh,
+        dedup_path_metrics,
+        release_caches,
+    )
+
+    manifest = Manifest(out_dir)
+    stats: dict = {"resumed_stages": []}
+    t0 = time.time()
+
+    def stage(name: str, fn):
+        if manifest.is_done(name):
+            stats["resumed_stages"].append(name)
+            return
+        info = fn() or {}
+        manifest.commit_stage(name, info)
+
+    def _pairs():
+        (dedup_minhash_lsh(spark, sf_dir)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "near_dup_pairs")))
+        release_caches()
+        return {}
+
+    def _components():
+        (dedup_connected_components(spark, sf_dir)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "components")))
+        release_caches()
+        return {}
+
+    def _metrics():
+        dm = dedup_path_metrics(spark, sf_dir)
+        dm.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "dedup_metrics"))
+        release_caches()
+        rows = {r["path"]: {k: r[k] for k in
+                            ("n_rows", "n_buckets", "n_over_cap_buckets",
+                             "n_refined_rows", "n_salted_rows",
+                             "n_dropped_rows")}
+                for r in spark.read.parquet(
+                    os.path.join(out_dir, "dedup_metrics")).collect()}
+        return {"bucket_metrics": rows}
+
+    stage("near_dup_pairs", _pairs)
+    stage("components", _components)
+    stage("dedup_metrics", _metrics)
+
+    stats["n_pairs"] = spark.read.parquet(
+        os.path.join(out_dir, "near_dup_pairs")).count()
+    stats["n_components"] = spark.read.parquet(
+        os.path.join(out_dir, "components")) \
+        .select("component_rep").distinct().count()
+    stats["bucket_metrics"] = (manifest.load()["stages"]
+                               .get("dedup_metrics", {})
+                               .get("bucket_metrics", {}))
+    stats["wall_sec"] = time.time() - t0
+    return stats
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default=None, help="tokens parquet path")

@@ -116,6 +116,37 @@ def test_ngram_jaccard_no_block_self_join(spark):
             assert ("s#" in ln) or ("doc" in ln) or ("text" in ln), ln
 
 
+def test_sizing_rowcounts_need_no_scan_job(spark, monkeypatch):
+    """nplanes/nlist parameterization must come from parquet footers, not
+    a count() scan (a full-corpus I/O pass per query at 100 TB): building
+    these plans with DataFrame.count poisoned must not raise."""
+    from pyspark.sql import DataFrame
+
+    from sparklog import queries as q
+
+    def boom(self):
+        raise AssertionError("count() scan job during plan construction")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    for fn in (q.ann_lsh_buckets, q.ann_lsh_candidate_pairs,
+               q.ann_ivf_topk, q.dedup_embedding_cosine,
+               q.ann_lsh_near_pairs):
+        fn(spark, SF)
+
+
+def test_table_rowcount_matches_scan_on_both_layouts(spark, tmp_path):
+    """Footer counts must equal scan counts for a single parquet file
+    (driver testdata layout) and a Spark-written part-file directory."""
+    from sparklog.queries import _table_rowcount
+
+    single = _table_rowcount(spark, SF, "embeddings")
+    assert single == spark.read.parquet(f"{SF}/embeddings.parquet").count()
+
+    d = str(tmp_path)
+    spark.range(1234).coalesce(3).write.parquet(f"{d}/things.parquet")
+    assert _table_rowcount(spark, d, "things") == 1234
+
+
 def test_detect_byte_branch_equals_regex_branch():
     """The ASCII byte-gather detect branch must agree with the regex
     branch on every tricky boundary case (poisoning the batch with one
