@@ -1094,9 +1094,13 @@ def _cc_labels(vertices: DataFrame, pairs: DataFrame,
     object store), and the loop exits on the first iteration with zero
     label changes — a cheap count on the narrow (v, l) table.  Runs on the
     COLLAPSED rep graph (unique texts), never the raw corpus."""
+    # materialize the edge set ONCE: every iteration joins it, and without
+    # the checkpoint each nb-join would re-execute the whole upstream
+    # candidate machinery (bands/signatures) per iteration
     sym = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
                 .unionByName(pairs.select(F.col("b").alias("x"),
-                                          F.col("a").alias("y"))))
+                                          F.col("a").alias("y")))
+                .localCheckpoint())
     labels = (vertices.select("v", F.col("v").alias("l"))
                       .localCheckpoint())
     for _ in range(max_iter):
