@@ -232,6 +232,10 @@ def main(argv=None):
     ap.add_argument("--ts-format", default=None,
                     help="custom strptime timestamp layout")
     ap.add_argument("--ts-format-len", type=int, default=None)
+    ap.add_argument("--dedup-sf", default=None,
+                    help="run the dedup job (near-dup pairs + components "
+                         "+ bucket metrics) over this sf dir instead of "
+                         "the parse pipeline")
     args = ap.parse_args(argv)
 
     cfg = ParseConfig(
@@ -243,6 +247,11 @@ def main(argv=None):
     from .session import get_spark
     spark = get_spark(args.master)
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.dedup_sf:
+        print(json.dumps(run_dedup(spark, args.dedup_sf, args.out),
+                         default=str))
+        return
 
     src = args.src
     if args.gen_rows:

@@ -841,14 +841,16 @@ def _keyed_with_splits(keyed: DataFrame, key: str, id_col: str, cap: int,
     single-key hotspot the cascade exists to defuse (AQE splits skewed
     joins, not skewed windows; a 10^8-copy text is ~4 GB of 40-byte rows
     serialized through one core).  Instead, pre-salt group sizes come from
-    ONE partial aggregation at (key, refine) granularity — map-side
-    combine means no task ever holds more than its own slice of a hot key
-    — from which both the level-1 count (a second tiny agg over the
-    distinct-key table, never the rows) and the level-2 count (the
-    fine-grain count itself: a refined group can only exceed cap if its
-    raw key does) are derived.  Only the over-cap tail (<= n/cap keys; in
-    practice just the skewed heads) is kept and BROADCAST back, so the big
-    side is never shuffled for the measurement at all; unmatched rows are
+    partial-aggregation probes — map-side combine means no task ever
+    holds more than its own slice of a hot key: level 1 is a plain
+    groupBy(key) count (the refine expression, which can be an expensive
+    interpreted signature, is never evaluated here), and level 2 counts
+    (key, refine) ONLY on rows of over-cap keys via a semi-join against
+    the level-1 tail (when nothing is over cap, AQE collapses the
+    empty-broadcast join to an empty relation and the probe
+    short-circuits).  Only the over-cap tail (<= n/cap keys; in practice
+    just the skewed heads) is kept and BROADCAST back, so the big side is
+    never shuffled for the measurement at all; unmatched rows are
     under-cap by construction and read 0, indistinguishable from their
     true count to every consumer (all comparisons are against
     cap-derived thresholds).  The post-salt _bn3 count keeps a window:
@@ -858,15 +860,21 @@ def _keyed_with_splits(keyed: DataFrame, key: str, id_col: str, cap: int,
     shuffle.  _k0/_k/_fk are all content-derived, never a fixed-
     cardinality block; volume is the narrow (key, id) projection."""
     if refine is not None:
-        fine = (keyed.groupBy(F.col(key), refine.alias("_rf"))
-                     .agg(F.count("*").alias("_n2")))
-        over1 = (fine.groupBy(key).agg(F.sum("_n2").alias("_bn"))
-                     .where(F.col("_bn") > cap))
-        # _n2 > cap implies the raw key is over cap too, hence refined
-        over2 = (fine.where(F.col("_n2") > cap)
-                     .select(F.concat(F.col(key), F.lit("#"), F.col("_rf"))
-                              .alias("_k"),
-                             F.col("_n2").alias("_bn2")))
+        # level-1 probe never touches the refine expression (it can be an
+        # expensive interpreted signature); level-2's probe evaluates it
+        # ONLY on rows of over-cap keys — the semi-join against the tiny
+        # over-cap key list prunes everything else, and when no key is
+        # over cap AQE collapses the empty-broadcast join to an empty
+        # relation, short-circuiting the whole probe
+        over1 = (keyed.groupBy(key).agg(F.count("*").alias("_bn"))
+                      .where(F.col("_bn") > cap))
+        over2 = (keyed.join(F.broadcast(over1.select(key)), key)
+                      .groupBy(F.col(key), refine.alias("_rf"))
+                      .agg(F.count("*").alias("_bn2"))
+                      .where(F.col("_bn2") > cap)
+                      .select(F.concat(F.col(key), F.lit("#"), F.col("_rf"))
+                               .alias("_k"),
+                              "_bn2"))
         df = (keyed.join(F.broadcast(over1), key, "left")
                    .withColumn("_bn", F.coalesce(F.col("_bn"), F.lit(0))))
         rk = (F.when(F.col("_bn") <= cap, F.col(key))

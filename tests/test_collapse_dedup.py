@@ -188,13 +188,23 @@ def test_release_caches_leaves_no_persistent_rdds(spark, dup_docs_dir):
     bench session)."""
     from sparklog.queries import REGISTRY, release_caches
 
+    def persistent_ids():
+        it = (spark.sparkContext._jsc.getPersistentRDDs()
+              .keySet().iterator())
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
     release_caches()  # drop anything earlier tests in this session left
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # compare SETS, not counts: the async ContextCleaner may collect other
+    # tests' localCheckpoint RDDs between the two snapshots
+    before = persistent_ids()
     got = REGISTRY["dedup_minhash_lsh"][0](spark, dup_docs_dir)
     got.write.format("noop").mode("overwrite").save()
     assert release_caches() >= 1  # the membership cache was tracked
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before, (before, after)
+    leaked = persistent_ids() - before
+    assert not leaked, leaked
 
 
 def test_embedding_collapse_matches_bruteforce_on_dup_heavy(
