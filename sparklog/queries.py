@@ -2196,8 +2196,18 @@ def dedup_embedding_cosine(spark, sf):
     # Without this, the x100 corpus (200 copies per vector) spent minutes
     # verifying ~40M identical pairs one interpreted dot at a time.
     sq = "aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)"
-    keyed = aug.where(F.expr(sq) > 0).select(
-        F.md5(F.col("v").cast("string")).alias("gk"), "vec_id")
+    # group key = two independent xxhash64s over the raw double array
+    # (128 combined bits — collision-safe at 10^12 rows, where a single
+    # 64-bit key would already see birthday collisions and emit false
+    # "identical" pairs).  Both hashes are JVM codegen over the array
+    # buffer; the previous md5(cast(v as string)) materialized a ~1.3 KB
+    # decimal string per row first — the dominant per-row cost of this
+    # query at x100.  The key is engine-internal (the oracle never groups
+    # — it verifies pairs quadratically), so no cross-engine parity
+    # constraint applies to it.
+    gk = F.concat(F.hex(F.xxhash64("v")),
+                  F.hex(F.xxhash64(F.lit(1), F.col("v"))))
+    keyed = aug.where(F.expr(sq) > 0).select(gk.alias("gk"), "vec_id")
     grp = keyed.groupBy("gk").agg(F.min("vec_id").alias("rep"))
     dup_pairs = (_bucket_pairs(keyed, "gk", "vec_id", LSH_BUCKET_CAP,
                                unique_keys=True)
