@@ -2297,6 +2297,134 @@ GROUP BY 1 HAVING count(*) > 1
 SQL_ANN_LSH_BUCKETS = _sql_ann_lsh()
 
 
+# --- training-data prep operators (round 4) --------------------------------
+
+# per-language keep rates for the stratified sampler; the hash threshold
+# is the 8-hex-char prefix of floor(rate * 2^32) so BOTH engines decide
+# membership by comparing the same md5 prefix against the same string
+_SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "de": 0.125}
+_SAMPLE_DEFAULT_RATE = 0.0625
+
+
+def _rate_hex(rate: float) -> str:
+    return format(int(rate * 2**32), "08x")
+
+
+def sample_stratified_documents(spark, sf):
+    """Deterministic stratified sampling — the operator that mixes a
+    training corpus to per-source/language quotas.  A document is kept
+    iff the first 8 hex chars of md5(doc_id) sort below its stratum's
+    rate threshold: membership is a pure function of the id, so the
+    sample is reproducible across runs, engines, and resumes (no rand()),
+    composable (a 0.25 sample is a subset of the 0.5 sample), and
+    embarrassingly parallel — a narrow filter with NO shuffle, which is
+    the only shape that survives a 100 TB scan.  Rates are a tiny
+    literal CASE (a real deployment would broadcast-join a config dim)."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+    th = F.lit(_rate_hex(_SAMPLE_DEFAULT_RATE))
+    for lang, rate in _SAMPLE_RATES.items():
+        th = F.when(F.col("lang") == lang, F.lit(_rate_hex(rate))) \
+              .otherwise(th)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return d.where(h < th).select("doc_id", "lang", "source")
+
+
+def _sql_sample_stratified() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{_rate_hex(rate)}'"
+        for lang, rate in _SAMPLE_RATES.items())
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, lang, source
+FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+      CASE lang {cases} ELSE '{_rate_hex(_SAMPLE_DEFAULT_RATE)}' END
+"""
+
+
+SQL_SAMPLE_STRATIFIED_DOCUMENTS = _sql_sample_stratified()
+
+
+def quantile_doc_lengths(spark, sf):
+    """Per-language EXACT length quantiles (p50/p90/p99 of n_chars and
+    median token count) — the corpus-statistics pass that sizes packing
+    capacity, truncation limits, and length-based quality filters.
+    Spark's `percentile` and DuckDB's `quantile_cont` both use linear
+    interpolation on the sorted values, so the doubles agree bit-for-bit
+    on integer inputs; rounded to 2 decimals anyway.  Scale shape:
+    partial aggregation per language (exact percentile buffers the
+    group's values — fine for a bounded language set; an unbounded
+    group key would switch to percentile_approx)."""
+    d = _t(spark, sf, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    return (d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 2).alias("p99_chars"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 2).alias("p50_tok")))
+
+
+SQL_QUANTILE_DOC_LENGTHS = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_chars::BIGINT, 0.5), 2) AS p50_chars,
+       round(quantile_cont(n_chars::BIGINT, 0.9), 2) AS p90_chars,
+       round(quantile_cont(n_chars::BIGINT, 0.99), 2) AS p99_chars,
+       round(quantile_cont(len(string_split(text, ' '))::BIGINT, 0.5), 2)
+         AS p50_tok
+FROM documents GROUP BY lang
+"""
+
+
+_PACK_CAPACITY = 2048   # tokens per training chunk
+_PACK_SHARDS = 8        # deterministic stream count (see docstring)
+
+
+def pack_sequences(spark, sf):
+    """Concatenate-and-chunk sequence packing — the LLM-pretraining prep
+    step: documents are laid out in a deterministic order inside a pack
+    stream, each at offset = running token count of its predecessors, and
+    pack_id = offset // capacity says which training chunk the document
+    starts in.  Streams are (lang, shard) with shard = doc_id % 8: any
+    deterministic partition works for packing, and sharding bounds the
+    per-window row count, so the cumsum window never single-tasks a big
+    language — at 100 TB the shard count comes from the footer row count
+    (ceil(n_tokens / tokens_per_task)), keeping every stream
+    task-sized.  The exclusive running sum is the one window this needs;
+    its partition key (lang, shard) is exactly the layout key a writer
+    would bucket by, so the shuffle is the output layout, not overhead."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    d = d.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS))
+                      .cast("long"))
+    w = (Window.partitionBy("lang", "shard").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return d.select(
+        "doc_id", "lang", "shard", "n_tok", off.alias("tok_offset"),
+        F.floor(off / F.lit(_PACK_CAPACITY)).alias("pack_id"))
+
+
+SQL_PACK_SEQUENCES = f"""
+SELECT doc_id::BIGINT AS doc_id, lang, doc_id::BIGINT % {_PACK_SHARDS}
+         AS shard,
+       len(string_split(text, ' '))::BIGINT AS n_tok,
+       coalesce(sum(len(string_split(text, ' '))::BIGINT) OVER (
+           PARTITION BY lang, doc_id::BIGINT % {_PACK_SHARDS}
+           ORDER BY doc_id::BIGINT
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS tok_offset,
+       coalesce(sum(len(string_split(text, ' '))::BIGINT) OVER (
+           PARTITION BY lang, doc_id::BIGINT % {_PACK_SHARDS}
+           ORDER BY doc_id::BIGINT
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // {_PACK_CAPACITY} AS pack_id
+FROM documents
+"""
+
+
 # registry: name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
@@ -2356,4 +2484,9 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine,
                                SQL_DEDUP_EMBEDDING_COSINE),
     "ann_ivf_topk": (ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "sample_stratified_documents": (sample_stratified_documents,
+                                    SQL_SAMPLE_STRATIFIED_DOCUMENTS),
+    "quantile_doc_lengths": (quantile_doc_lengths,
+                             SQL_QUANTILE_DOC_LENGTHS),
+    "pack_sequences": (pack_sequences, SQL_PACK_SEQUENCES),
 }
