@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "asof_join_event_rates",
     "text_quality_scores",
+    "pack_sequences",
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARKLOG_BENCH_ROWS", "400000"))
