@@ -2208,14 +2208,24 @@ def dedup_embedding_cosine(spark, sf):
     gk = F.concat(F.hex(F.xxhash64("v")),
                   F.hex(F.xxhash64(F.lit(1), F.col("v"))))
     keyed = aug.where(F.expr(sq) > 0).select(gk.alias("gk"), "vec_id")
-    grp = keyed.groupBy("gk").agg(F.min("vec_id").alias("rep"))
+    # the representative VECTOR rides through the collapse aggregation
+    # (min_by): partial agg ships one candidate vector per key per task,
+    # so volume is bounded by the UNIQUE count — re-joining the corpus
+    # by rep id instead shuffled all 400k vectors to fetch 2k rows
+    # (measured 21 s of this query's x100 time), and broadcasting the
+    # rep list would cap out at web-scale unique counts
+    grp_v = (aug.where(F.expr(sq) > 0)
+                .groupBy(gk.alias("gk"))
+                .agg(F.min("vec_id").alias("rep"),
+                     F.min_by("v", "vec_id").alias("v")))
+    grp = grp_v.select("gk", "rep")
     dup_pairs = (_bucket_pairs(keyed, "gk", "vec_id", LSH_BUCKET_CAP,
                                unique_keys=True)
                  .select(F.col("a").alias("vec_a"),
                          F.col("b").alias("vec_b"),
                          F.lit(1.0).alias("cosine")))
     membership = _persist(keyed.join(grp, "gk").select("vec_id", "rep"))
-    reps = aug.join(grp.select(F.col("rep").alias("vec_id")), "vec_id")
+    reps = grp_v.select(F.col("rep").alias("vec_id"), "v")
 
     # nplanes parameterized on the full corpus size (footer metadata,
     # no scan); the unique-vector corpus is <= that, so buckets only shrink
