@@ -722,7 +722,19 @@ def dedup_ngram_jaccard(spark, sf):
     keyed = docs.select(
         F.md5(F.concat_ws("\x1f", "lang", "source", "text")).alias("gk"),
         "doc_id", F.size(F.split("text", " ")).alias("nw"))
-    groups = keyed.groupBy("gk").agg(F.min("doc_id").alias("rep"))
+    # representative text/lang/source ride the collapse aggregation (all
+    # rows of a gk group are identical in them, so min() is the value;
+    # partial-agg volume bounded by the unique count) — see
+    # _minhash_rep_graph for why re-joining docs by rep id does not
+    # survive web-scale unique counts
+    grp_t = (docs.groupBy(
+                F.md5(F.concat_ws("\x1f", "lang", "source", "text"))
+                 .alias("gk"))
+                 .agg(F.min("doc_id").alias("rep"),
+                      F.min("text").alias("text"),
+                      F.min("lang").alias("lang"),
+                      F.min("source").alias("source")))
+    groups = grp_t.select("gk", "rep")
 
     # within-group pairs: identical texts, J = 1 by definition (>= 3 words
     # so the shingle set is non-empty, matching the oracle's union > 0).
@@ -739,7 +751,8 @@ def dedup_ngram_jaccard(spark, sf):
     membership = _persist(keyed.select("gk", "doc_id").join(groups, "gk")
                           .select("doc_id", "rep"))
     reps = _with_shingles(
-        docs.join(groups.select(F.col("rep").alias("doc_id")), "doc_id"),
+        grp_t.select(F.col("rep").alias("doc_id"), "text", "lang",
+                     "source"),
         "lang", "source")
     ex = (reps.select("doc_id", "lang", "source",
                       F.size("sh").alias("nsh"),
@@ -988,13 +1001,22 @@ def _minhash_rep_graph(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
         F.col("doc_id").cast("long").alias("doc_id"), "text")
     keyed = docs.select(F.md5("text").alias("gk"), "doc_id",
                         F.size(F.split("text", " ")).alias("nw"))
-    groups = keyed.groupBy("gk").agg(F.min("doc_id").alias("rep"))
+    # the representative TEXT rides through the collapse aggregation:
+    # every row of a gk group carries the identical text, so min(text)
+    # is that text, and partial agg ships one candidate per key per task
+    # (volume bounded by the UNIQUE count).  Re-joining docs by rep id
+    # instead depends on AQE broadcasting an unbounded rep-id list — at
+    # web-scale uniques that degrades to a sort-merge join shuffling
+    # EVERY text, the exact cost this query's shape exists to avoid.
+    grp_t = (docs.groupBy(F.md5("text").alias("gk"))
+                 .agg(F.min("doc_id").alias("rep"),
+                      F.min("text").alias("text")))
+    groups = grp_t.select("gk", "rep")
     # persisted: the (doc_id, rep) map is the exact-dedup staging table a
     # production pipeline materializes anyway, and it is narrow
     membership = _persist(keyed.select("gk", "doc_id").join(groups, "gk")
                           .select("doc_id", "rep"))
-    reps = docs.join(groups.select(F.col("rep").alias("doc_id")),
-                     "doc_id")
+    reps = grp_t.select(F.col("rep").alias("doc_id"), "text")
     # explode_outer + post-filter: a plain explode makes Catalyst infer a
     # size(sh)>0 filter and push it BELOW the words projection, re-inlining
     # the shingle lambda over split(text) per element (measured 7x cost)
