@@ -50,7 +50,10 @@ HEADLINE = [
 
 BENCH_ROWS = int(os.environ.get("SPARKLOG_BENCH_ROWS", "400000"))
 X100_DIR = os.environ.get("SPARKLOG_X100_DIR", "/tmp/sparklog_sf10")
-X100_REPS = int(os.environ.get("SPARKLOG_X100_REPS", "2"))
+# 1 pass per round by default: the driver may invoke bench.py several
+# times per round, and interleaving alone already yields two samples per
+# query; raise for standalone deep runs (BENCH_LARGE_SF.md used 2)
+X100_REPS = int(os.environ.get("SPARKLOG_X100_REPS", "1"))
 
 
 def _force(df) -> None:
