@@ -189,7 +189,8 @@ def run_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         rows = {r["path"]: {k: r[k] for k in
                             ("n_rows", "n_buckets", "n_over_cap_buckets",
                              "n_refined_rows", "n_salted_rows",
-                             "n_dropped_rows")}
+                             "n_dropped_rows", "cc_iterations",
+                             "n_components")}
                 for r in spark.read.parquet(
                     os.path.join(out_dir, "dedup_metrics")).collect()}
         return {"bucket_metrics": rows}

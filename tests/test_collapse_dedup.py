@@ -216,3 +216,27 @@ def test_embedding_collapse_matches_bruteforce_on_dup_heavy(
     assert _pairs(got) == _pairs(want)
     # the 30-copy group alone (x2 with planted duplicates) dominates
     assert len(want) >= 60 * 59 // 2
+
+
+def test_ngram_null_blocking_fields_never_pair(spark, tmp_path):
+    """Round-4 advisor: concat_ws skips NULLs, so (NULL,'x',text) and
+    ('x',NULL,text) used to collapse into one chimera group and pair at
+    J=1.0 — while the oracle's NULL-rejecting equi-join produces no such
+    pair.  NULL-bearing rows must now produce NO pairs in either engine,
+    and identical non-NULL rows still pair."""
+    text = _mk_text(3)
+    pdf = pd.DataFrame(
+        [(1, text, None, "web"),
+         (2, text, "en", None),
+         (3, text, "en", "web"),
+         (4, text, "en", "web")],
+        columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    spark_fn = REGISTRY["dedup_ngram_jaccard"][0]
+    got = _pairs(spark_fn(spark, d).toPandas())
+    want = _pairs(_oracle(d, "documents", SQL_DEDUP_NGRAM_JACCARD))
+    assert got == want == {(3, 4, 1.0)}

@@ -209,10 +209,14 @@ def test_run_dedup_writes_outputs_and_bucket_metrics(spark, tmp_path):
     # one metrics row per dedup path, all cascade counters present
     m = stats["bucket_metrics"]
     assert set(m) == {"minhash_bands", "exact_text_groups",
-                      "ann_lsh_buckets"}
-    for row in m.values():
+                      "ann_lsh_buckets", "minhash_components"}
+    for name, row in m.items():
         assert row["n_rows"] > 0
-        assert row["n_dropped_rows"] == 0  # hard guard never fires here
+        if name == "minhash_components":   # CC convergence row (round 5)
+            assert row["cc_iterations"] >= 1
+            assert row["n_components"] >= 1
+        else:
+            assert row["n_dropped_rows"] == 0  # hard guard never fires
     assert os.path.exists(os.path.join(out, "dedup_metrics"))
     # rerun resumes every stage from the manifest
     again = run_dedup(spark, "/root/testdata/sf0.001", out)
