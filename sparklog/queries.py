@@ -2685,6 +2685,92 @@ WINDOW w AS (PARTITION BY lang, shard ORDER BY doc_id
 SQL_PACK_SEQUENCES = _sql_pack_sequences()
 
 
+_DECON_NGRAM = 13          # GPT-3-style eval-overlap n-gram width
+_DECON_BENCH_DOCS = 32     # deterministic benchmark subset size
+
+
+def decontaminate_benchmark(spark, sf):
+    """Benchmark decontamination — the training-data prep step that flags
+    corpus documents sharing any exact word-13-gram with an evaluation
+    set, so eval answers don't leak into training.  The benchmark here is
+    a deterministic stand-in (the _DECON_BENCH_DOCS docs with smallest
+    (md5(doc_id), doc_id) — both engines derive the identical set; a real
+    deployment passes the eval corpus in).  Output: every NON-benchmark
+    doc with n_hits = count of its distinct 13-gram hashes that appear in
+    the benchmark gram set, and a contaminated flag.
+
+    Scale shape — the benchmark side is FIXED-SIZE, which makes this the
+    textbook broadcast pattern: benchmark grams are a bounded distinct
+    set (docs x words), broadcast to every executor; the corpus side is
+    scan -> explode -> broadcast-hash-join with NO shuffle of corpus
+    grams — the join prunes to actual hits (tiny), and only those hit
+    rows pay the countDistinct groupBy(doc_id) shuffle.  Gram hashing is
+    md5 applied AFTER the explode (JVM codegen on a column), never
+    inside the transform lambda (interpreted per-element).  The final
+    hit-count join back to the corpus id list is left to AQE (hit-doc
+    cardinality is corpus-dependent; adversarially it is the whole
+    corpus, so no forced broadcast)."""
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bench_ids = (docs.select("doc_id", h.alias("h"))
+                     .sort("h", "doc_id").limit(_DECON_BENCH_DOCS)
+                     .select("doc_id"))
+    n = _DECON_NGRAM
+    grams_expr = (
+        f"case when size(w) < {n} then array() else "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n}))) end")
+    grams = (docs.withColumn("w", F.split("text", " "))
+                 .select("doc_id",
+                         F.explode_outer(F.expr(grams_expr)).alias("s"))
+                 .where(F.col("s").isNotNull())
+                 .select("doc_id", F.md5("s").alias("g")))
+    bg = (grams.join(F.broadcast(bench_ids), "doc_id")
+               .select("g").distinct())
+    hits = (grams.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+                 .join(F.broadcast(bg), "g")
+                 .groupBy("doc_id")
+                 .agg(F.countDistinct("g").alias("n_hits")))
+    corpus = docs.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    return (corpus.select("doc_id")
+                  .join(hits, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("n_hits", F.lit(0)).cast("long")
+                           .alias("n_hits"),
+                          (F.coalesce("n_hits", F.lit(0)) > 0)
+                           .alias("contaminated")))
+
+
+SQL_DECONTAMINATE_BENCHMARK = f"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+), b AS (
+  SELECT doc_id FROM d
+  ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT {_DECON_BENCH_DOCS}
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(w) - {_DECON_NGRAM - 1}, 0)),
+             i -> md5(array_to_string(
+                 list_slice(w, i, i + {_DECON_NGRAM - 1}), ' ')))) AS g
+  FROM d
+), bg AS (
+  SELECT DISTINCT g.g FROM g JOIN b USING (doc_id)
+), hits AS (
+  SELECT g.doc_id, count(DISTINCT g.g)::BIGINT AS n_hits
+  FROM g JOIN bg ON g.g = bg.g
+  WHERE g.doc_id NOT IN (SELECT doc_id FROM b)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM b)
+"""
+
+
 # registry: name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
@@ -2749,4 +2835,6 @@ REGISTRY: dict[str, tuple] = {
     "quantile_doc_lengths": (quantile_doc_lengths,
                              SQL_QUANTILE_DOC_LENGTHS),
     "pack_sequences": (pack_sequences, SQL_PACK_SEQUENCES),
+    "decontaminate_benchmark": (decontaminate_benchmark,
+                                SQL_DECONTAMINATE_BENCHMARK),
 }

@@ -122,3 +122,67 @@ def test_pack_sequences_parity_at_non_default_shard_count(
     # sums must come back as integers, not HUGEINT-degraded float64
     assert str(odf["tok_offset"].dtype) in ("int64", "Int64")
     assert str(odf["pack_id"].dtype) in ("int64", "Int64")
+
+
+def test_decontaminate_flags_planted_ngram_overlap(spark, tmp_path):
+    """A corpus doc embedding an exact 13-word run from a benchmark doc
+    must be flagged with the right hit count; clean docs, short docs
+    (<13 words), and the benchmark docs themselves must not appear
+    contaminated.  Verified against the DuckDB oracle on the same
+    parquet."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparklog.queries import (
+        SQL_DECONTAMINATE_BENCHMARK,
+        _DECON_BENCH_DOCS,
+        decontaminate_benchmark,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    base = " ".join(words)                     # 60-word benchmark-ish doc
+    rows = []
+    for i in range(_DECON_BENCH_DOCS + 20):    # enough docs that the
+        rows.append((i, f"doc {i} " + " ".join(  # benchmark set is full
+            f"u{i}x{j}" for j in range(30)), "en", "web"))
+    # ids chosen so the SOURCE doc lands inside the seeded benchmark
+    # set and the planted/clean/short docs land outside it
+    rows.append((1164, base, "en", "web"))
+    # contaminated doc: 13-word run lifted from doc 1164, rest unique
+    lifted = " ".join(words[10:23])
+    rows.append((1126, "prefix tokens here " + lifted + " suffix tail",
+                 "en", "web"))
+    rows.append((1004, "entirely clean document with plenty of its own "
+                      "unique running words " + " ".join(
+                          f"z{j}" for j in range(20)), "en", "web"))
+    rows.append((982, "short doc", "en", "web"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    sdf = decontaminate_benchmark(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_DECONTAMINATE_BENCHMARK).df()
+
+    s = sdf.sort_values("doc_id").reset_index(drop=True)
+    o = odf.sort_values("doc_id").reset_index(drop=True)
+    assert len(s) == len(o) == len(rows) - _DECON_BENCH_DOCS
+    for c in ("doc_id", "n_hits"):
+        pd.testing.assert_series_equal(s[c].astype("int64"),
+                                       o[c].astype("int64"),
+                                       check_names=False)
+    got = dict(zip(s.doc_id, zip(s.n_hits, s.contaminated)))
+    # sanity: the id choice really did put the source in the benchmark
+    bench = set(con.execute(
+        f"SELECT doc_id::BIGINT AS doc_id FROM documents ORDER BY "
+        f"md5(doc_id::VARCHAR), doc_id LIMIT {_DECON_BENCH_DOCS}"
+    ).df()["doc_id"])
+    assert 1164 in bench and not {1126, 1004, 982} & bench
+    assert got[1126][0] == 1 and got[1126][1]   # planted 13-gram flagged
+    assert got[1004] == (0, False)              # clean
+    assert got[982] == (0, False)               # short (<13 words)
