@@ -46,6 +46,7 @@ HEADLINE = [
     "asof_join_event_rates",
     "text_quality_scores",
     "pack_sequences",
+    "decontaminate_benchmark",
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARKLOG_BENCH_ROWS", "400000"))
