@@ -47,6 +47,7 @@ HEADLINE = [
     "text_quality_scores",
     "pack_sequences",
     "decontaminate_benchmark",
+    "text_repetition_scores",
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARKLOG_BENCH_ROWS", "400000"))

@@ -186,3 +186,54 @@ def test_decontaminate_flags_planted_ngram_overlap(spark, tmp_path):
     assert got[1126][0] == 1 and got[1126][1]   # planted 13-gram flagged
     assert got[1004] == (0, False)              # clean
     assert got[982] == (0, False)               # short (<13 words)
+
+
+def test_repetition_scores_on_planted_docs(spark, tmp_path):
+    """Exact duplicate-fraction values on hand-computable docs, matching
+    the DuckDB oracle: a pure repetition loop scores near 1, a
+    distinct-word doc scores 0, and too-short docs yield NULL for the
+    n-grams they cannot form."""
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import (
+        SQL_TEXT_REPETITION_SCORES,
+        text_repetition_scores,
+    )
+
+    rows = [
+        (1, "spam spam spam spam spam spam", "en", "web"),   # 6x one word
+        (2, "a b c d e f", "en", "web"),                     # all distinct
+        (3, "x", "en", "web"),                               # no 2/3-grams
+        (4, "go go stop go go stop", "en", "web"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    sdf = (text_repetition_scores(spark, d).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = (con.execute(SQL_TEXT_REPETITION_SCORES).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in sdf.columns:
+        pd.testing.assert_series_equal(sdf[c].astype(float),
+                                       odf[c].astype(float),
+                                       check_names=False)
+
+    got = {r.doc_id: r for _, r in sdf.iterrows()}
+    assert got[1].dup_word_frac == round(1 - 1 / 6, 4)     # 0.8333
+    assert got[1].dup_2gram_frac == round(1 - 1 / 5, 4)    # "spam spam" x5
+    assert got[2].dup_word_frac == 0.0
+    assert got[2].dup_3gram_frac == 0.0
+    assert pd.isna(got[3].dup_2gram_frac)                  # too short
+    assert pd.isna(got[3].dup_3gram_frac)
+    assert got[3].dup_word_frac == 0.0
+    # "go go stop" x2: 6 words, 2 distinct -> 1 - 2/6; 5 2-grams
+    # ("go go","go stop","stop go" x.. ) with 3 distinct -> 1 - 3/5
+    assert got[4].dup_word_frac == 0.6667
+    assert got[4].dup_2gram_frac == 0.4
