@@ -179,7 +179,7 @@ def main() -> None:
         k: r[k] for k in ("n_rows", "n_buckets", "n_over_cap_buckets",
                           "n_refined_rows", "n_salted_rows",
                           "n_dropped_rows", "cc_iterations",
-                          "n_components")}
+                          "cc_converged", "n_components")}
         for r in dedup_path_metrics(spark, sf01_dir).collect()}
     release_caches()
 

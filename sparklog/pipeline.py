@@ -150,7 +150,7 @@ def run_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     with the same manifest/stage pattern as run_pipeline, metrics beside
     outputs the way parse_metrics sits beside the sinks."""
     from .queries import (
-        dedup_connected_components,
+        dedup_components_with_stats,
         dedup_minhash_lsh,
         dedup_path_metrics,
         release_caches,
@@ -175,14 +175,18 @@ def run_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         return {}
 
     def _components():
-        (dedup_connected_components(spark, sf_dir)
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, "components")))
+        df, cc = dedup_components_with_stats(spark, sf_dir)
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "components"))
         release_caches()
-        return {}
+        return {"cc": cc}
 
     def _metrics():
-        dm = dedup_path_metrics(spark, sf_dir)
+        # reuse the components stage's propagation stats (committed in
+        # its manifest info) instead of running the CC loop a second time
+        cc = (manifest.load()["stages"].get("components", {})
+              .get("cc"))
+        dm = dedup_path_metrics(spark, sf_dir, cc_stats=cc)
         dm.repartition(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "dedup_metrics"))
         release_caches()
@@ -190,7 +194,7 @@ def run_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
                             ("n_rows", "n_buckets", "n_over_cap_buckets",
                              "n_refined_rows", "n_salted_rows",
                              "n_dropped_rows", "cc_iterations",
-                             "n_components")}
+                             "cc_converged", "n_components")}
                 for r in spark.read.parquet(
                     os.path.join(out_dir, "dedup_metrics")).collect()}
         return {"bucket_metrics": rows}

@@ -433,14 +433,36 @@ def test_path_metrics_reports_cc_convergence(spark):
     rows = {r.path: r for r in dedup_path_metrics(spark, sf).collect()}
     cc = rows["minhash_components"]
     assert cc.cc_iterations >= 1
+    assert cc.cc_converged is True
     assert cc.n_components >= 1
     assert cc.n_rows >= cc.n_components   # vertices >= components
     # cascade rows keep their stats and NULL the CC columns
     mb = rows["minhash_bands"]
     assert mb.cc_iterations is None and mb.n_components is None
+    assert mb.cc_converged is None
     assert mb.n_rows > 0
     # the reported component count matches the closer's actual output
     n_comp = (dedup_connected_components(spark, sf)
               .select("component_rep").distinct().count())
     assert cc.n_components == n_comp
     release_caches()
+
+
+def test_cc_labels_reports_truncation_distinctly(spark):
+    """Round-5 self-review: hitting max_iter with labels still moving
+    must be DISTINGUISHABLE from converging on the last pass — the
+    converged flag is the difference; iteration counts alone are
+    ambiguous.  A 12-vertex chain needs several pointer-jump rounds:
+    max_iter=1 truncates (converged=False, labels not yet a single
+    component); the unbounded run converges to one component."""
+    from sparklog.queries import _cc_labels
+
+    verts = spark.range(12).select(F.col("id").alias("v"))
+    chain = spark.range(11).select(F.col("id").alias("a"),
+                                   (F.col("id") + 1).alias("b"))
+    lab1, it1, conv1 = _cc_labels(verts, chain, max_iter=1)
+    assert (it1, conv1) == (1, False)
+    assert lab1.select("l").distinct().count() > 1     # not yet closed
+    lab, it, conv = _cc_labels(verts, chain)
+    assert conv is True and 1 <= it <= 20
+    assert lab.select("l").distinct().count() == 1

@@ -206,9 +206,11 @@ def test_repetition_scores_on_planted_docs(spark, tmp_path):
         (2, "a b c d e f", "en", "web"),                     # all distinct
         (3, "x", "en", "web"),                               # no 2/3-grams
         (4, "go go stop go go stop", "en", "web"),
+        (5, None, "en", "web"),     # NULL text: all-NULL row, must NOT
+        (6, "", "en", "web"),       # inherit the empty-string doc's score
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
-    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    pdf["n_chars"] = pdf["text"].str.len().astype("Int32")
     d = str(tmp_path)
     spark.createDataFrame(pdf).coalesce(1).write.parquet(
         f"{d}/documents.parquet")
@@ -237,3 +239,8 @@ def test_repetition_scores_on_planted_docs(spark, tmp_path):
     # ("go go","go stop","stop go" x.. ) with 3 distinct -> 1 - 3/5
     assert got[4].dup_word_frac == 0.6667
     assert got[4].dup_2gram_frac == 0.4
+    # round-5 self-review: NULL text scores NULL everywhere (matching the
+    # oracle's string_split(NULL) propagation), while the empty-string
+    # doc scores n_words=1 — the two must not share a collapse group
+    assert pd.isna(got[5].n_words) and pd.isna(got[5].dup_word_frac)
+    assert got[6].n_words == 1 and got[6].dup_word_frac == 0.0
