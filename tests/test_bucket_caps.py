@@ -466,3 +466,53 @@ def test_cc_labels_reports_truncation_distinctly(spark):
     lab, it, conv = _cc_labels(verts, chain)
     assert conv is True and 1 <= it <= 20
     assert lab.select("l").distinct().count() == 1
+
+
+def test_cascade_closure_equals_uncapped_closure_randomized(spark):
+    """Property check over randomized group-size distributions (seeded):
+    for a unique-keys partition, the transitive closure of the cascade's
+    emitted pairs must equal the uncapped enumeration's closure — i.e.
+    every key's ids form exactly one component, no component ever spans
+    two keys — while the emitted pair count stays O(groups * cap^2 +
+    splits) instead of quadratic.  Exercises under-cap, just-over-cap,
+    and deeply-salted groups together in one keyed table."""
+    import random
+
+    from sparklog.queries import _SPLIT_HARD_CAP_FACTOR, _bucket_pairs
+
+    rng = random.Random(42)
+    cap = 8
+    rows, key_of = [], {}
+    next_id = 0
+    for g in range(12):
+        size = rng.choice([1, 2, cap - 1, cap, cap + 1, 3 * cap,
+                           10 * cap])
+        for _ in range(size):
+            rows.append((f"k{g}", next_id))
+            key_of[next_id] = g
+            next_id += 1
+    keyed = spark.createDataFrame(rows, ["gk", "i"])
+    pairs = [(r.a, r.b) for r in
+             _bucket_pairs(keyed, "gk", "i", cap,
+                           unique_keys=True).collect()]
+    # no pair ever crosses keys, and a < b always
+    for a, b in pairs:
+        assert key_of[a] == key_of[b] and a < b
+    comp = _components(list(key_of), pairs)
+    by_key = {}
+    for i, g in key_of.items():
+        by_key.setdefault(g, set()).add(comp[i])
+    for g, labels in by_key.items():
+        n = sum(1 for i in key_of.values() if i == g)
+        if n >= 2:
+            assert len(labels) == 1, (g, labels)   # one component per key
+    # fan-out bound: within-split pairs + one star edge per split
+    hard = cap * _SPLIT_HARD_CAP_FACTOR
+    max_pairs = 0
+    for g in by_key:
+        n = sum(1 for i in key_of.values() if i == g)
+        splits = max(1, -(-n // cap))
+        per_split = -(-n // splits)
+        max_pairs += splits * (min(per_split + cap, hard) ** 2) // 2 \
+            + splits
+    assert len(pairs) <= max_pairs
