@@ -48,6 +48,8 @@ HEADLINE = [
     "pack_sequences",
     "decontaminate_benchmark",
     "text_repetition_scores",
+    "token_vocab_topk",
+    "mixture_source_weights",
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARKLOG_BENCH_ROWS", "400000"))

@@ -2939,6 +2939,149 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM b)
 """
 
 
+_VOCAB_TOPK = 64
+
+
+def token_vocab_topk(spark, sf):
+    """Corpus vocabulary statistics over the pre-tokenized view of
+    ``documents`` (``tokenize_col`` — the same codepoint encoding as the
+    input_hint token table, sparklog/encoding.py): the top-64 token ids
+    by total occurrence count, with the number of documents containing
+    each token and the token's corpus share in ppm.  A training pipeline
+    runs this to audit vocabulary coverage and spot garbage/control
+    tokens before packing; the reference has no analogue (pipeline-layer
+    op per SURVEY §2.B arrays/tokens row).
+
+    Scale shape: COLLAPSE-FIRST — token counts are a pure function of
+    the text, so each UNIQUE text is tokenized once and its counts are
+    re-weighted by the duplicate multiplicity (``copies``); the pair
+    stream emits one row per (unique text, DISTINCT token), not per
+    token instance, and the per-token in-text counts read the SAME
+    materialized array behind a Generate barrier (ProjectCollapse would
+    otherwise re-inline the interpreted tokenize into every reference).
+    One map-side-combined groupBy(token) shuffle of a narrow
+    (token, cnt, copies) stream; the grand total is a single-partition
+    window over the ≤|vocab| aggregate (NOT a cross-joined scalar
+    subquery, which would re-execute the whole collapse+explode subtree
+    — Spark does not share subplans), and the top-K is rewritten by
+    Catalyst into TakeOrderedAndProject over the same bounded rows.
+    Shares use integer ``div`` ppm — no cross-engine float (exact while
+    total occurrences ≤ ~9.2e12; beyond that switch the ppm numerator
+    to decimal)."""
+    docs = (_t(spark, sf, "documents")
+            .where(F.col("text").isNotNull()).select("text"))
+    grp = (docs.groupBy(F.md5("text").alias("gk"))
+               .agg(F.count("*").alias("copies"), F.min("text").alias("t")))
+    toks = (grp.select("copies",
+                       F.explode(F.array(tokenize_col("t"))).alias("toks")))
+    pairs = (toks.select(
+        "copies",
+        F.explode(F.expr(
+            "transform(array_distinct(toks), t -> named_struct("
+            "'token', cast(t as bigint), "
+            "'cnt', cast(size(filter(toks, x -> x = t)) as bigint)))"))
+         .alias("p"))
+        .select("copies", F.col("p.token").alias("token"),
+                F.col("p.cnt").alias("cnt")))
+    counts = (pairs.groupBy("token")
+                   .agg(F.sum(F.col("cnt") * F.col("copies"))
+                         .alias("n_occurrences"),
+                        F.sum("copies").alias("n_docs")))
+    wall = Window.partitionBy()   # ≤|vocab| rows — bounded at any scale
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (counts.withColumn("total", F.sum("n_occurrences").over(wall))
+                  .select("token", "n_occurrences", "n_docs",
+                          F.expr("cast((n_occurrences * 1000000) div total"
+                                 " as bigint)").alias("share_ppm"))
+                  .withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= _VOCAB_TOPK))
+
+
+SQL_TOKEN_VOCAB_TOPK = f"""
+WITH grp AS (
+  SELECT count(*)::BIGINT AS copies, min(text) AS t
+  FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+), chars AS (
+  SELECT copies, list_filter(string_split(t, ''), c -> c <> '') AS cs
+  FROM grp
+), pairs AS (
+  SELECT copies, unicode(u.t)::BIGINT AS token,
+         len(list_filter(cs, x -> x = u.t))::BIGINT AS cnt
+  FROM chars, unnest(list_distinct(cs)) AS u(t)
+), counts AS (
+  SELECT token, sum(cnt * copies)::BIGINT AS n_occurrences,
+         sum(copies)::BIGINT AS n_docs
+  FROM pairs GROUP BY 1
+), tot AS (SELECT sum(n_occurrences)::BIGINT AS total FROM counts)
+SELECT token, n_occurrences, n_docs, share_ppm, rank FROM (
+  SELECT c.token, c.n_occurrences, c.n_docs,
+         (c.n_occurrences * 1000000 // tot.total)::BIGINT AS share_ppm,
+         row_number() OVER (ORDER BY c.n_occurrences DESC, c.token ASC)
+           ::BIGINT AS rank
+  FROM counts c, tot
+) WHERE rank <= {_VOCAB_TOPK}
+"""
+
+
+def mixture_source_weights(spark, sf):
+    """Per-source mixture accounting for training-data curation: document
+    and token totals per ``source`` plus (a) the source's token share in
+    ppm and (b) the UNIFORM-mixture resampling weight in ppm — the
+    factor a sampler multiplies into each source's selection probability
+    so every source contributes equally to the token budget
+    (weight = T / (S · tokens_s); >1e6 means upsample).  Token counts
+    are codepoint counts (``length(text)``), identical to
+    ``size(tokenize_col(text))`` by construction of the encoding.
+
+    Scale shape: ONE map-side-combined groupBy over the low-cardinality
+    source key — a single pass at 10^12 rows; the corpus totals are a
+    single-partition window over the ≤|sources| aggregate (a cross-
+    joined scalar subquery would re-run the corpus scan — Spark does
+    not share subplans).  All derived ratios are integer
+    ``div`` ppm, so both engines are bit-exact (numerators stay inside
+    int64 while total tokens ≤ ~9.2e12; beyond that widen to decimal).
+    NULL-text docs count as documents but contribute 0 tokens; a source
+    with 0 tokens gets a NULL weight rather than a division blow-up."""
+    docs = _t(spark, sf, "documents").select(
+        "source", F.coalesce(F.length("text"), F.lit(0)).cast("long")
+                   .alias("n_tok"))
+    per = (docs.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_tok").alias("n_tokens")))
+    wall = Window.partitionBy()   # ≤|sources| rows — bounded at any scale
+    return (per.withColumn("total_tokens", F.sum("n_tokens").over(wall))
+               .withColumn("n_sources",
+                           F.sum((F.col("n_tokens") > 0).cast("long"))
+                            .over(wall))
+               .select(
+                   "source", "n_docs", "n_tokens",
+                   F.expr("cast((n_tokens * 1000000) div total_tokens"
+                          " as bigint)").alias("share_ppm"),
+                   F.expr("cast(case when n_tokens > 0 then"
+                          " (total_tokens * 1000000)"
+                          " div (n_sources * n_tokens) end as bigint)")
+                    .alias("uniform_weight_ppm")))
+
+
+SQL_MIXTURE_SOURCE_WEIGHTS = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(coalesce(length(text), 0))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens)::BIGINT AS total_tokens,
+         sum(CASE WHEN n_tokens > 0 THEN 1 ELSE 0 END)::BIGINT AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       (n_tokens * 1000000 // total_tokens)::BIGINT AS share_ppm,
+       (CASE WHEN n_tokens > 0 THEN
+          (total_tokens * 1000000) // (n_sources * n_tokens) END)::BIGINT
+         AS uniform_weight_ppm
+FROM per, tot
+"""
+
+
 # registry: name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
@@ -3007,4 +3150,7 @@ REGISTRY: dict[str, tuple] = {
                                 SQL_DECONTAMINATE_BENCHMARK),
     "text_repetition_scores": (text_repetition_scores,
                                SQL_TEXT_REPETITION_SCORES),
+    "token_vocab_topk": (token_vocab_topk, SQL_TOKEN_VOCAB_TOPK),
+    "mixture_source_weights": (mixture_source_weights,
+                               SQL_MIXTURE_SOURCE_WEIGHTS),
 }

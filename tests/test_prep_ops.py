@@ -244,3 +244,93 @@ def test_repetition_scores_on_planted_docs(spark, tmp_path):
     # doc scores n_words=1 — the two must not share a collapse group
     assert pd.isna(got[5].n_words) and pd.isna(got[5].dup_word_frac)
     assert got[6].n_words == 1 and got[6].dup_word_frac == 0.0
+
+
+def test_token_vocab_topk_planted_counts(spark, tmp_path):
+    """Hand-computable vocab stats on a planted corpus: duplicate texts
+    weight occurrences AND containing-doc counts per copy (collapse-
+    first must not under-count), NULL text contributes nothing, empty
+    text contributes nothing, shares are integer-floor ppm of the
+    corpus total, and rank orders by count desc then token asc.
+    Cross-checked against the DuckDB oracle on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import SQL_TOKEN_VOCAB_TOPK, token_vocab_topk
+
+    rows = [(0, "aab", "en", "web"), (1, "aab", "en", "web"),
+            (2, "bc", "en", "web"), (3, None, "en", "web"),
+            (4, "", "en", "web")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    got = {r.token: r for r in token_vocab_topk(spark, d).collect()}
+    # a=97: 2 per copy of "aab" x2 copies; b=98: in all three texts
+    assert got[97].n_occurrences == 4 and got[97].n_docs == 2
+    assert got[98].n_occurrences == 3 and got[98].n_docs == 3
+    assert got[99].n_occurrences == 1 and got[99].n_docs == 1
+    assert got[97].share_ppm == 500_000          # 4*1e6 // 8
+    assert got[98].share_ppm == 375_000
+    assert got[99].share_ppm == 125_000
+    assert (got[97].rank, got[98].rank, got[99].rank) == (1, 2, 3)
+    assert len(got) == 3                          # NULL/empty add nothing
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_TOKEN_VOCAB_TOPK).df()
+    o = {int(r.token): r for _, r in odf.iterrows()}
+    assert set(o) == set(got)
+    for t in got:
+        assert (int(o[t].n_occurrences), int(o[t].n_docs),
+                int(o[t].share_ppm), int(o[t]["rank"])) == \
+            (got[t].n_occurrences, got[t].n_docs,
+             got[t].share_ppm, got[t].rank)
+
+
+def test_mixture_source_weights_planted(spark, tmp_path):
+    """Integer-exact mixture math on a planted corpus: shares floor to
+    ppm of the corpus token total, the uniform weight is
+    T*1e6 // (S * tokens_s) with S counting only token-bearing sources,
+    a 0-token source gets NULL weight (no division blow-up), and NULL
+    texts count as documents with 0 tokens.  Oracle cross-checked."""
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import (SQL_MIXTURE_SOURCE_WEIGHTS,
+                                  mixture_source_weights)
+
+    rows = [(0, "aaaa", "en", "web"), (1, "bb", "en", "web"),
+            (2, "c" * 12, "en", "books"), (3, None, "en", "void")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    got = {r.source: r for r in mixture_source_weights(spark, d).collect()}
+    assert got["web"].n_docs == 2 and got["web"].n_tokens == 6
+    assert got["books"].n_docs == 1 and got["books"].n_tokens == 12
+    assert got["void"].n_docs == 1 and got["void"].n_tokens == 0
+    # T=18, S=2 (void has no tokens)
+    assert got["web"].share_ppm == 333_333       # floor(6e6/18)
+    assert got["books"].share_ppm == 666_666
+    assert got["void"].share_ppm == 0
+    assert got["web"].uniform_weight_ppm == 1_500_000   # 18e6 // 12
+    assert got["books"].uniform_weight_ppm == 750_000   # 18e6 // 24
+    assert got["void"].uniform_weight_ppm is None
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_MIXTURE_SOURCE_WEIGHTS).df()
+    for _, r in odf.iterrows():
+        g = got[r.source]
+        assert (int(r.n_docs), int(r.n_tokens), int(r.share_ppm)) == \
+            (g.n_docs, g.n_tokens, g.share_ppm)
+        ow = None if pd.isna(r.uniform_weight_ppm) else \
+            int(r.uniform_weight_ppm)
+        assert ow == g.uniform_weight_ppm
