@@ -50,6 +50,7 @@ HEADLINE = [
     "text_repetition_scores",
     "token_vocab_topk",
     "mixture_source_weights",
+    "pii_scrub_documents",
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARKLOG_BENCH_ROWS", "400000"))

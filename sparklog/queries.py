@@ -3082,6 +3082,74 @@ FROM per, tot
 """
 
 
+# PII patterns: chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB) — character classes, bounded repeats and \b only, no
+# lookaround (RE2 has none).  Scrub precedence: email -> ip -> phone.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def pii_scrub_documents(spark, sf):
+    """PII detection + scrubbing for training-data prep: per document,
+    the number of email / IPv4 / phone-shaped matches in the raw text, a
+    has_pii flag, and the md5 of the scrubbed text (matches replaced by
+    typed placeholders in email→ip→phone precedence) — the fingerprint
+    is what the gate compares; a production run writes the scrubbed text
+    itself as the new corpus column.  Counts are independent per-pattern
+    detections on the RAW text (an address inside an email counts under
+    both; documented, keeps the plan to one regex pass per pattern
+    instead of staged re-counts on intermediate scrubs).  NULL text
+    propagates NULL everywhere, identically in both engines.
+
+    Scale shape: COLLAPSE-FIRST — every output is a pure function of the
+    text, so the 6 regex passes (3 counts + 3 nested replaces) run once
+    per UNIQUE text and expand through the narrow (doc_id, gk) key
+    table; all JVM built-ins (regexp_count/regexp_replace), zero Python.
+    The NULL-text flag rides the collapse key so NULL and empty-string
+    docs never share a group (same construction as
+    text_repetition_scores)."""
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    gk = F.md5(F.concat_ws("\x1f",
+                           F.col("text").isNull().cast("string"),
+                           F.coalesce(F.col("text"), F.lit(""))))
+    keyed = docs.select("doc_id", gk.alias("gk"))
+    grp = docs.groupBy(gk.alias("gk")).agg(F.min("text").alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IP), F.lit("<IP>")),
+        F.lit(_PII_PHONE), F.lit("<PHONE>"))
+    ne = F.regexp_count("t", F.lit(_PII_EMAIL)).cast("long")
+    ni = F.regexp_count("t", F.lit(_PII_IP)).cast("long")
+    np_ = F.regexp_count("t", F.lit(_PII_PHONE)).cast("long")
+    scored = grp.select(
+        "gk", ne.alias("n_emails"), ni.alias("n_ips"),
+        np_.alias("n_phones"),
+        ((ne + ni + np_) > 0).alias("has_pii"),
+        F.md5(scrubbed).alias("scrubbed_md5"))
+    return (keyed.join(scored, "gk")
+                 .select("doc_id", "n_emails", "n_ips", "n_phones",
+                         "has_pii", "scrubbed_md5"))
+
+
+SQL_PII_SCRUB_DOCUMENTS = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IP}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
+       (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+        + len(regexp_extract_all(text, '{_PII_IP}'))
+        + len(regexp_extract_all(text, '{_PII_PHONE}'))) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
 # registry: name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
@@ -3153,4 +3221,5 @@ REGISTRY: dict[str, tuple] = {
     "token_vocab_topk": (token_vocab_topk, SQL_TOKEN_VOCAB_TOPK),
     "mixture_source_weights": (mixture_source_weights,
                                SQL_MIXTURE_SOURCE_WEIGHTS),
+    "pii_scrub_documents": (pii_scrub_documents, SQL_PII_SCRUB_DOCUMENTS),
 }

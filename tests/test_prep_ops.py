@@ -334,3 +334,67 @@ def test_mixture_source_weights_planted(spark, tmp_path):
         ow = None if pd.isna(r.uniform_weight_ppm) else \
             int(r.uniform_weight_ppm)
         assert ow == g.uniform_weight_ppm
+
+
+def test_pii_scrub_planted_docs(spark, tmp_path):
+    """Exact detection counts and scrub fingerprints on planted docs:
+    emails, IPv4s, phone-shaped numbers, a clean doc, a duplicate pair
+    (collapse must expand per doc), and a NULL text (NULL everywhere).
+    The md5 fingerprints are recomputed locally from the hand-scrubbed
+    strings, and the DuckDB oracle must agree row-for-row."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import SQL_PII_SCRUB_DOCUMENTS, pii_scrub_documents
+
+    texts = {
+        0: "reach me at john.doe@example.com or jane@test.org today",
+        1: "server 192.168.1.1 and 10.0.0.255 are down",
+        2: "call +123-456-7890 or 555.123.4567 now",
+        3: "a perfectly clean document with no identifiers at all",
+        4: "reach me at john.doe@example.com or jane@test.org today",
+        5: None,
+    }
+    scrubbed = {
+        0: "reach me at <EMAIL> or <EMAIL> today",
+        1: "server <IP> and <IP> are down",
+        2: "call <PHONE> or <PHONE> now",
+        3: texts[3],
+        4: "reach me at <EMAIL> or <EMAIL> today",
+    }
+    rows = [(i, t, "en", "web") for i, t in texts.items()]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    got = {r.doc_id: r for r in pii_scrub_documents(spark, d).collect()}
+    assert len(got) == 6
+    expect = {0: (2, 0, 0, True), 1: (0, 2, 0, True), 2: (0, 0, 2, True),
+              3: (0, 0, 0, False), 4: (2, 0, 0, True)}
+    for i, (ne, ni, np_, flag) in expect.items():
+        r = got[i]
+        assert (r.n_emails, r.n_ips, r.n_phones, r.has_pii) == \
+            (ne, ni, np_, flag), r
+        assert r.scrubbed_md5 == hashlib.md5(
+            scrubbed[i].encode()).hexdigest(), (i, r)
+    r5 = got[5]
+    assert r5.n_emails is None and r5.has_pii is None \
+        and r5.scrubbed_md5 is None
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_PII_SCRUB_DOCUMENTS).df()
+    for _, r in odf.iterrows():
+        g = got[int(r.doc_id)]
+        if pd.isna(r.n_emails):
+            assert g.n_emails is None
+        else:
+            assert (int(r.n_emails), int(r.n_ips), int(r.n_phones),
+                    bool(r.has_pii), r.scrubbed_md5) == \
+                (g.n_emails, g.n_ips, g.n_phones, g.has_pii,
+                 g.scrubbed_md5)

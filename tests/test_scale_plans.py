@@ -210,3 +210,20 @@ def test_dedup_group_keys_are_non_nullable_no_double_hash(spark):
                dedup_connected_components):
         plan = _plan(fn(spark, SF))
         assert "isnotnull(md5" not in plan, fn.__name__
+
+
+def test_vocab_and_mixture_totals_share_single_scan(spark):
+    """The corpus totals in token_vocab_topk / mixture_source_weights are
+    single-partition windows over the BOUNDED aggregate, not cross-joined
+    scalar subqueries — the scalar-subquery formulation re-executes the
+    entire upstream subtree (Spark shares no subplans), which for the
+    vocab query means a second full collapse+tokenize+explode pass over
+    the corpus.  Guard: exactly ONE FileScan (and one tokenize) in each
+    plan."""
+    from sparklog.queries import mixture_source_weights, token_vocab_topk
+
+    pv = _plan(token_vocab_topk(spark, SF))
+    assert pv.count("Location:") == 1, pv       # one scan instance
+    assert pv.count("ascii(") == 1, pv          # tokenize inlined once
+    pm = _plan(mixture_source_weights(spark, SF))
+    assert pm.count("Location:") == 1, pm
