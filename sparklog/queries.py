@@ -3150,6 +3150,91 @@ FROM documents
 """
 
 
+_URL_DOMAIN_RX = r"https?://([A-Za-z0-9.-]+)"
+_URL_TOPK = 50
+
+
+def url_domain_topk(spark, sf):
+    """Web-curation domain audit (C4/RefinedWeb-style URL blocklist
+    filtering): extract every ``http(s)://`` URL's domain from the
+    document text, aggregate per domain (total URL occurrences +
+    distinct containing docs), flag blocklisted domains, and return the
+    top-50 by occurrence.  A training pipeline runs this before a
+    domain-level filter pass to see what a blocklist would remove; the
+    reference has no analogue (pipeline-layer op per SURVEY §2.B).
+
+    The synthetic corpus contains no URLs, so the gate query PLANTS them
+    deterministically (the decontaminate_benchmark pattern — a stand-in
+    for the real column): every doc gets ``http://<source>.example.com/
+    doc/<doc_id>`` appended, and every 5th doc also an https CDN URL, so
+    extraction, multi-URL docs, and both schemes are exercised with
+    non-trivial counts; the oracle plants the identical text.  The
+    blocklist is likewise a deterministic stand-in (md5(domain) first
+    hex digit in 0-3, ~25% of domains, computed per-row with no join);
+    a production run broadcast-joins the real blocklist dim instead.
+
+    Scale shape: the extraction is one JVM ``regexp_extract_all`` pass
+    over a single scan (map-only — no collapse stage: the audit keys on
+    the URL column, not a pure function of a dedupable text), then
+    explode → one map-side-combined groupBy(domain).  The distinct-doc
+    count shuffles narrow (domain, doc_id) pairs — volume is the corpus
+    link count, the natural lower bound for an exact audit (switch to
+    approx_count_distinct when ±2% is acceptable).  The top-K is
+    Catalyst's TakeOrderedAndProject over the bounded per-domain
+    aggregate; no driver materialization anywhere."""
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("source"), F.lit("nosrc")).alias("src"),
+        F.coalesce(F.col("text"), F.lit("")).alias("t"))
+    txt = F.concat(
+        F.col("t"),
+        F.lit(" http://"), F.col("src"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" https://cdn-"), F.col("src"),
+                        F.lit(".example.net/asset")))
+         .otherwise(F.lit("")))
+    doms = (docs.select("doc_id", txt.alias("txt"))
+                .select("doc_id",
+                        F.explode(F.regexp_extract_all(
+                            "txt", F.lit(_URL_DOMAIN_RX), F.lit(1)))
+                         .alias("domain")))
+    counts = (doms.groupBy("domain")
+                  .agg(F.count("*").cast("long").alias("n_urls"),
+                       F.countDistinct("doc_id").cast("long")
+                        .alias("n_docs")))
+    blocked = F.substring(F.md5("domain"), 1, 1).isin("0", "1", "2", "3")
+    return (counts.select("domain", "n_urls", "n_docs",
+                          blocked.alias("blocked"))
+                  .orderBy(F.desc("n_urls"), "domain")
+                  .limit(_URL_TOPK))
+
+
+SQL_URL_DOMAIN_TOPK = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         coalesce(text, '') || ' http://' || coalesce(source, 'nosrc')
+         || '.example.com/doc/' || (doc_id::BIGINT)::VARCHAR
+         || CASE WHEN doc_id::BIGINT % 5 = 0
+                 THEN ' https://cdn-' || coalesce(source, 'nosrc')
+                      || '.example.net/asset'
+                 ELSE '' END AS txt
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(txt, '{_URL_DOMAIN_RX}', 1)) AS domain
+  FROM t
+)
+SELECT domain, count(*)::BIGINT AS n_urls,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       substring(md5(domain), 1, 1) IN ('0', '1', '2', '3') AS blocked
+FROM u
+GROUP BY domain
+ORDER BY n_urls DESC, domain
+LIMIT {_URL_TOPK}
+"""
+
+
 # registry: name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
@@ -3222,4 +3307,5 @@ REGISTRY: dict[str, tuple] = {
     "mixture_source_weights": (mixture_source_weights,
                                SQL_MIXTURE_SOURCE_WEIGHTS),
     "pii_scrub_documents": (pii_scrub_documents, SQL_PII_SCRUB_DOCUMENTS),
+    "url_domain_topk": (url_domain_topk, SQL_URL_DOMAIN_TOPK),
 }

@@ -398,3 +398,85 @@ def test_pii_scrub_planted_docs(spark, tmp_path):
                     bool(r.has_pii), r.scrubbed_md5) == \
                 (g.n_emails, g.n_ips, g.n_phones, g.has_pii,
                  g.scrubbed_md5)
+
+
+def test_url_domain_topk_planted_docs(spark, tmp_path):
+    """Exact extraction + aggregation on hand-written URLs: multi-URL
+    docs, both schemes, case-preserved domains, path/query truncation at
+    the first non-domain char, duplicate texts in DISTINCT docs (n_docs
+    must count docs, not texts), a URL-free doc, and a NULL text.  Every
+    doc additionally carries its deterministic planted URL
+    (http://<source>.example.com/doc/<id>; +CDN for id%5==0), so the
+    expectations below include those; the blocklist flag is recomputed
+    locally from md5.  The DuckDB oracle must agree row-for-row."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import SQL_URL_DOMAIN_TOPK, url_domain_topk
+
+    texts = {
+        1: "visit http://Example.COM/page and https://sub.domain.org/x?y=1",
+        2: "dup text with http://dup.net/a inside",
+        3: "dup text with http://dup.net/a inside",
+        4: "no links in this one",
+        6: None,
+    }
+    rows = [(i, t, "en", "web") for i, t in texts.items()]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    got = {r.domain: r for r in url_domain_topk(spark, d).collect()}
+    # planted: every doc -> web.example.com; no doc_id is % 5 == 0 except
+    # none here (ids 1,2,3,4,6), so no CDN domain appears
+    expect = {
+        "web.example.com": (5, 5),
+        "dup.net": (2, 2),          # same text, two docs
+        "Example.COM": (1, 1),      # case preserved, path stripped
+        "sub.domain.org": (1, 1),   # https, query stripped
+    }
+    assert set(got) == set(expect)
+    for dom, (n_urls, n_docs) in expect.items():
+        r = got[dom]
+        assert (r.n_urls, r.n_docs) == (n_urls, n_docs), r
+        assert r.blocked == (
+            hashlib.md5(dom.encode()).hexdigest()[0] in "0123"), r
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_URL_DOMAIN_TOPK).df()
+    assert len(odf) == len(got)
+    for _, r in odf.iterrows():
+        g = got[r.domain]
+        assert (int(r.n_urls), int(r.n_docs), bool(r.blocked)) == \
+            (g.n_urls, g.n_docs, g.blocked)
+
+
+def test_url_domain_topk_cdn_plant_and_limit(spark, tmp_path):
+    """A doc_id divisible by 5 gets the second planted (https CDN) URL;
+    the top-K keeps the highest-n_urls domains with (n_urls desc, domain
+    asc) tie-breaks."""
+    import pandas as pd
+
+    from sparklog.queries import url_domain_topk
+
+    rows = [(i, "plain text", "en", f"s{i}") for i in (5, 7, 10)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    out = url_domain_topk(spark, d).collect()
+    got = {r.domain: (r.n_urls, r.n_docs) for r in out}
+    assert got == {
+        "s5.example.com": (1, 1), "s7.example.com": (1, 1),
+        "s10.example.com": (1, 1),
+        "cdn-s5.example.net": (1, 1), "cdn-s10.example.net": (1, 1)}
+    # returned already ordered: all ties at n_urls=1 -> ascending domain
+    assert [r.domain for r in out] == sorted(got)
