@@ -51,6 +51,7 @@ HEADLINE = [
     "token_vocab_topk",
     "mixture_source_weights",
     "pii_scrub_documents",
+    "url_domain_topk",
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARKLOG_BENCH_ROWS", "400000"))

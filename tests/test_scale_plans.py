@@ -227,3 +227,18 @@ def test_vocab_and_mixture_totals_share_single_scan(spark):
     assert pv.count("ascii(") == 1, pv          # tokenize inlined once
     pm = _plan(mixture_source_weights(spark, SF))
     assert pm.count("Location:") == 1, pm
+
+
+def test_url_domain_topk_plan_shape(spark):
+    """url_domain_topk must stay map-only up to ONE groupBy(domain): a
+    single FileScan, partial aggregation before the domain shuffle
+    (map-side combine of the exploded URL stream), and the top-50
+    rewritten to TakeOrderedAndProject — never a global sort of the
+    per-domain aggregate."""
+    from sparklog.queries import url_domain_topk
+
+    p = _plan(url_domain_topk(spark, SF))
+    assert p.count("Location:") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "partial_count" in p, p              # map-side combine
+    assert "Sort [" not in p.split("TakeOrderedAndProject")[0], p
