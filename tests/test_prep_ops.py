@@ -480,3 +480,56 @@ def test_url_domain_topk_cdn_plant_and_limit(spark, tmp_path):
         "cdn-s5.example.net": (1, 1), "cdn-s10.example.net": (1, 1)}
     # returned already ordered: all ties at n_urls=1 -> ascending domain
     assert [r.domain for r in out] == sorted(got)
+
+
+def test_url_domain_extraction_differential_random(spark, tmp_path):
+    """Randomized differential: the whole url_domain_topk aggregate must
+    equal an independent scalar recomputation (Python `re` on the driver
+    over the same planted texts) on a seeded corpus of URL-ish strings —
+    valid URLs, scheme-less lookalikes, adjacent punctuation, mixed
+    case, and embedded junk.  Guards the Java-regex/RE2/`re` dialect
+    assumption behind _URL_DOMAIN_RX."""
+    import hashlib
+    import random
+    import re
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from sparklog.queries import _URL_DOMAIN_RX, url_domain_topk
+
+    rng = random.Random(0xD05)
+    frags = ["http://", "https://", "htp://", "http:/", "://", "",
+             "a.b-c.D2", "x", "WWW.Site.COM", "dup.net", "..", "-",
+             "/path?q=1", " ", ",", "(", ")", "<", ">", "éü"]
+    texts = {}
+    for i in range(80):
+        texts[i] = "".join(rng.choice(frags)
+                           for _ in range(rng.randint(0, 12))) or None
+
+    rows = [(i, t, "en", f"s{i % 3}") for i, t in texts.items()]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    # independent scalar recomputation, including the deterministic plant
+    n_urls = defaultdict(int)
+    docs = defaultdict(set)
+    for i, t in texts.items():
+        planted = f" http://s{i % 3}.example.com/doc/{i}"
+        if i % 5 == 0:
+            planted += f" https://cdn-s{i % 3}.example.net/asset"
+        for dom in re.findall(_URL_DOMAIN_RX, (t or "") + planted):
+            n_urls[dom] += 1
+            docs[dom].add(i)
+    want = sorted(((n_urls[k], k) for k in n_urls),
+                  key=lambda p: (-p[0], p[1]))[:50]
+    expect = {k: (n, len(docs[k]),
+                  hashlib.md5(k.encode()).hexdigest()[0] in "0123")
+              for n, k in want}
+
+    got = {r.domain: (r.n_urls, r.n_docs, r.blocked)
+           for r in url_domain_topk(spark, d).collect()}
+    assert got == expect
