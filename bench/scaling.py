@@ -159,6 +159,13 @@ def main():
     eff = r4N["rows_per_sec"] / (4 * rN["rows_per_sec"])
     eff_wide = r16N["rows_per_sec"] / (4 * r4N["rows_per_sec"])
     host_eff = cal[1] / cal[n4]
+    # one label per DISTINCT measured width (the round-5 artifact printed
+    # the n=1 level twice and dropped the measured 16-wide value —
+    # ADVICE r5: every busy-loop measurement attributed to its actual
+    # process count)
+    cal_line = ", ".join(
+        f"{w} proc{'s' if w > 1 else ''} {cal[w]:.2f}s"
+        for w in sorted(cal))
     base_w = min(curve)
     base_rate = curve[base_w]["rows_per_sec"]
 
@@ -181,9 +188,8 @@ parse -> enrich -> route -> salted-repartition phase.
 
 ## Host calibration (the sandbox's own parallel ceiling)
 
-Identical pure-Python busy loops, best of 2: 1 proc {cal[1]:.2f}s,
-{n} procs {cal[n]:.2f}s, {n4} procs {cal[n4]:.2f}s, 32 procs
-{cal[32]:.2f}s — this VM runs {n4} concurrent CPU-bound processes at
+Identical pure-Python busy loops, best of 2:
+{cal_line} — this VM runs {n4} concurrent CPU-bound processes at
 {host_eff:.2f} per-process efficiency vs 1, and wide (32-way) runs on it
 show multi-x run-to-run interference (measured local[32] wall times for
 the identical job ranged 15-83s across one afternoon).  The criterion is
