@@ -446,8 +446,12 @@ def test_url_domain_topk_planted_docs(spark, tmp_path):
     must count docs, not texts), a URL-free doc, and a NULL text.  Every
     doc additionally carries its deterministic planted URL
     (http://<source>.example.com/doc/<id>; +CDN for id%5==0), so the
-    expectations below include those; the blocklist flag is recomputed
-    locally from md5.  The DuckDB oracle must agree row-for-row."""
+    expectations below include those; the blocked flag is DIM MEMBERSHIP
+    (round-6: the blocklist is a broadcast-joined dim whose fixture rows
+    are the planted candidate domains passing the md5-prefix rule), so a
+    domain outside the candidate set is never blocked even when its hash
+    falls in the blocked range.  The DuckDB oracle must agree
+    row-for-row."""
     import hashlib
 
     import duckdb
@@ -479,11 +483,12 @@ def test_url_domain_topk_planted_docs(spark, tmp_path):
         "sub.domain.org": (1, 1),   # https, query stripped
     }
     assert set(got) == set(expect)
+    dim = {d for d in ("web.example.com", "cdn-web.example.net")
+           if hashlib.md5(d.encode()).hexdigest()[0] in "0123"}
     for dom, (n_urls, n_docs) in expect.items():
         r = got[dom]
         assert (r.n_urls, r.n_docs) == (n_urls, n_docs), r
-        assert r.blocked == (
-            hashlib.md5(dom.encode()).hexdigest()[0] in "0123"), r
+        assert r.blocked == (dom in dim), r
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
@@ -565,9 +570,13 @@ def test_url_domain_extraction_differential_random(spark, tmp_path):
             docs[dom].add(i)
     want = sorted(((n_urls[k], k) for k in n_urls),
                   key=lambda p: (-p[0], p[1]))[:50]
-    expect = {k: (n, len(docs[k]),
-                  hashlib.md5(k.encode()).hexdigest()[0] in "0123")
-              for n, k in want}
+    # blocked = membership in the fixture dim (planted candidates of the
+    # corpus's sources passing the md5 rule) — a random extracted domain
+    # is never blocked, whatever its hash
+    dim = {d for s in ("s0", "s1", "s2")
+           for d in (f"{s}.example.com", f"cdn-{s}.example.net")
+           if hashlib.md5(d.encode()).hexdigest()[0] in "0123"}
+    expect = {k: (n, len(docs[k]), k in dim) for n, k in want}
 
     got = {r.domain: (r.n_urls, r.n_docs, r.blocked)
            for r in url_domain_topk(spark, d).collect()}

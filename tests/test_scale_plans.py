@@ -255,7 +255,9 @@ def test_token_vocab_topk_counting_is_linear(spark):
 def test_url_domain_topk_plan_shape(spark):
     """url_domain_topk must stay map-only up to ONE groupBy(domain): a
     single FileScan, partial aggregation before the domain shuffle
-    (map-side combine of the exploded URL stream), and the top-50
+    (map-side combine of the exploded URL stream), the blocklist dim
+    joined as a BroadcastHashJoin on the bounded per-domain aggregate
+    (round-6: production dim shape, never shuffled), and the top-50
     rewritten to TakeOrderedAndProject — never a global sort of the
     per-domain aggregate."""
     from sparklog.queries import url_domain_topk
@@ -264,4 +266,5 @@ def test_url_domain_topk_plan_shape(spark):
     assert p.count("Location:") == 1, p
     assert "TakeOrderedAndProject" in p, p
     assert "partial_count" in p, p              # map-side combine
+    assert "BroadcastHashJoin" in p, p          # blocklist dim
     assert "Sort [" not in p.split("TakeOrderedAndProject")[0], p
