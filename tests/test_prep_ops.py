@@ -188,6 +188,81 @@ def test_decontaminate_flags_planted_ngram_overlap(spark, tmp_path):
     assert got[982] == (0, False)               # short (<13 words)
 
 
+def test_decontaminate_tokens_diverges_from_word_grams(spark, tmp_path):
+    """The token-gram variant must flag overlap the word-gram variant is
+    blind to: a SHORT doc (<13 words) lifting a >=13-char run from a
+    benchmark doc word-contaminates never (no word 13-gram exists) but
+    token-contaminates (13-token = 13-char windows exist), and
+    multi-space text collapses to empty words under split(' ') while
+    every space is a token here.  n_hits is cross-checked against an
+    independent Python sliding-window recomputation AND the DuckDB
+    oracle row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import (
+        SQL_DECONTAMINATE_BENCHMARK_TOKENS,
+        _DECON_BENCH_DOCS,
+        _DECON_NGRAM,
+        decontaminate_benchmark,
+        decontaminate_benchmark_tokens,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    base = " ".join(words)
+    rows = []
+    for i in range(_DECON_BENCH_DOCS + 20):
+        rows.append((i, f"doc {i} " + " ".join(
+            f"u{i}x{j}" for j in range(30)), "en", "web"))
+    # same id layout as the word-gram test: 1164 lands IN the md5-ordered
+    # benchmark set, the probes land outside it
+    rows.append((1164, base, "en", "web"))
+    # 6 words, but a 20-char run lifted verbatim from the benchmark doc:
+    # invisible to word 13-grams, visible to token 13-grams
+    lifted = base[20:40]
+    rows.append((1126, "pre " + lifted + " post", "en", "web"))
+    # double-space text: word-splitting sees empty words, tokens see both
+    # spaces — shares no 13-char window with any benchmark doc
+    rows.append((1004, "tiny  doubled  gap", "en", "web"))
+    rows.append((982, "short doc", "en", "web"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    bench = set(con.execute(
+        f"SELECT doc_id::BIGINT AS doc_id FROM documents ORDER BY "
+        f"md5(doc_id::VARCHAR), doc_id LIMIT {_DECON_BENCH_DOCS}"
+    ).df()["doc_id"])
+    assert 1164 in bench and not {1126, 1004, 982} & bench
+
+    def wins(t):
+        return {t[i:i + _DECON_NGRAM]
+                for i in range(len(t) - _DECON_NGRAM + 1)}
+
+    texts = {i: t for i, t, _l, _s in rows}
+    bench_grams = set().union(*(wins(texts[i]) for i in bench))
+    expect = {i: len(wins(t) & bench_grams)
+              for i, t in texts.items() if i not in bench}
+
+    tok = {r.doc_id: r for r in
+           decontaminate_benchmark_tokens(spark, d).collect()}
+    assert {i: r.n_hits for i, r in tok.items()} == expect
+    word = {r.doc_id: r for r in decontaminate_benchmark(spark, d).collect()}
+    assert expect[1126] == 8                    # 20 - 13 + 1 interior wins
+    assert tok[1126].contaminated and not word[1126].contaminated
+    assert not tok[1004].contaminated and not tok[982].contaminated
+
+    odf = con.execute(SQL_DECONTAMINATE_BENCHMARK_TOKENS).df()
+    assert {int(r.doc_id): (int(r.n_hits), bool(r.contaminated))
+            for _, r in odf.iterrows()} == \
+        {i: (r.n_hits, r.contaminated) for i, r in tok.items()}
+
+
 def test_repetition_scores_on_planted_docs(spark, tmp_path):
     """Exact duplicate-fraction values on hand-computable docs, matching
     the DuckDB oracle: a pure repetition loop scores near 1, a
