@@ -3197,11 +3197,18 @@ FROM per, tot
 
 
 # PII patterns: chosen to parse identically under Java regex (Spark) and
-# RE2 (DuckDB) — character classes, bounded repeats and \b only, no
-# lookaround (RE2 has none).  Scrub precedence: email -> ip -> phone.
+# RE2 (DuckDB) — character classes, bounded repeats, alternation and \b
+# only, no lookaround (RE2 has none).  Scrub precedence: email -> ip ->
+# phone.  The phone shape covers NNN-NNN-NNNN with -/./space separators,
+# the parenthesized area code (NNN) NNN-NNNN (optional space after the
+# close paren), and an optional +N/+NN country prefix (ADVICE r5 — the
+# round-5 pattern missed parens and spaces); deliberately NO trailing \b:
+# Java's \b is Unicode-word-aware while RE2's is ASCII, so a digit
+# followed by a non-ASCII letter would split the dialects.
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE = r"\+?\d{3}[-.]\d{3}[-.]\d{4}"
+_PII_PHONE = (r"(\+\d{1,2}[-. ])?"
+              r"(\(\d{3}\) ?|\+?\d{3}[-. ])\d{3}[-. ]\d{4}")
 
 
 def pii_scrub_documents(spark, sf):

@@ -470,6 +470,10 @@ def test_pii_scrub_planted_docs(spark, tmp_path):
         3: "a perfectly clean document with no identifiers at all",
         4: "reach me at john.doe@example.com or jane@test.org today",
         5: None,
+        # ADVICE r5 phone shapes: parenthesized area code (with and
+        # without the space), space separators, +N country prefix
+        6: "call (555) 123-4567 or 555 123 4567 soon",
+        7: "fax (555)123 4567 and +1 555-123-4567 ok",
     }
     scrubbed = {
         0: "reach me at <EMAIL> or <EMAIL> today",
@@ -477,6 +481,8 @@ def test_pii_scrub_planted_docs(spark, tmp_path):
         2: "call <PHONE> or <PHONE> now",
         3: texts[3],
         4: "reach me at <EMAIL> or <EMAIL> today",
+        6: "call <PHONE> or <PHONE> soon",
+        7: "fax <PHONE> and <PHONE> ok",
     }
     rows = [(i, t, "en", "web") for i, t in texts.items()]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
@@ -486,9 +492,10 @@ def test_pii_scrub_planted_docs(spark, tmp_path):
         f"{d}/documents.parquet")
 
     got = {r.doc_id: r for r in pii_scrub_documents(spark, d).collect()}
-    assert len(got) == 6
+    assert len(got) == 8
     expect = {0: (2, 0, 0, True), 1: (0, 2, 0, True), 2: (0, 0, 2, True),
-              3: (0, 0, 0, False), 4: (2, 0, 0, True)}
+              3: (0, 0, 0, False), 4: (2, 0, 0, True),
+              6: (0, 0, 2, True), 7: (0, 0, 2, True)}
     for i, (ne, ni, np_, flag) in expect.items():
         r = got[i]
         assert (r.n_emails, r.n_ips, r.n_phones, r.has_pii) == \
