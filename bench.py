@@ -52,6 +52,8 @@ HEADLINE = [
     "mixture_source_weights",
     "pii_scrub_documents",
     "url_domain_topk",
+    "decontaminate_benchmark_tokens",
+    "curate_documents",
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARKLOG_BENCH_ROWS", "400000"))

@@ -263,6 +263,72 @@ def test_decontaminate_tokens_diverges_from_word_grams(spark, tmp_path):
         {i: (r.n_hits, r.contaminated) for i, r in tok.items()}
 
 
+def test_curate_documents_planted_reasons(spark, tmp_path):
+    """Hand-computed keep/drop verdicts covering every reason code in
+    precedence order — null_text, too_short (<10 words), non_english
+    (<2 stopword hits), repetitive (integer dup-fraction rules),
+    blocked_domain (URL domain in the fixture dim: wiki.example.com is
+    blocked, web.example.com is not), and kept — plus PII scrubbing on a
+    kept doc (scrub is never a drop reason) and a duplicate text pair
+    (collapse must expand the verdict per doc).  Fingerprints recomputed
+    locally; the DuckDB oracle must agree row-for-row."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import SQL_CURATE_DOCUMENTS, curate_documents
+
+    texts = {
+        0: (None, "wiki"),
+        1: ("tiny doc", "web"),
+        2: ("alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "web"),
+        3: ("the cat the cat the cat the cat the cat and more", "web"),
+        4: ("please go to the site http://wiki.example.com/page and "
+            "read all of it now", "web"),
+        5: ("you can email me at bob@x.org and the rest is fine here "
+            "today", "wiki"),
+        6: ("see the page at http://web.example.com/doc and tell me "
+            "all about it", "web"),
+        7: ("the cat the cat the cat the cat the cat and more", "wiki"),
+    }
+    rows = [(i, t, "en", s) for i, (t, s) in texts.items()]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    def m(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    expect = {
+        0: (False, "null_text", None),
+        1: (False, "too_short", m(texts[1][0])),
+        2: (False, "non_english", m(texts[2][0])),
+        3: (False, "repetitive", m(texts[3][0])),
+        4: (False, "blocked_domain", m(texts[4][0])),
+        5: (True, "kept", m("you can email me at <EMAIL> and the rest "
+                            "is fine here today")),
+        6: (True, "kept", m(texts[6][0])),
+        7: (False, "repetitive", m(texts[7][0])),
+    }
+    got = {r.doc_id: (r.keep, r.reason, r.scrubbed_md5)
+           for r in curate_documents(spark, d).collect()}
+    assert got == expect
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_CURATE_DOCUMENTS).df()
+    o = {int(r.doc_id): (bool(r.keep), r.reason,
+                         None if pd.isna(r.scrubbed_md5)
+                         else r.scrubbed_md5)
+         for _, r in odf.iterrows()}
+    assert o == expect
+
+
 def test_repetition_scores_on_planted_docs(spark, tmp_path):
     """Exact duplicate-fraction values on hand-computable docs, matching
     the DuckDB oracle: a pure repetition loop scores near 1, a

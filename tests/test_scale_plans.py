@@ -252,6 +252,24 @@ def test_token_vocab_topk_counting_is_linear(spark):
     assert "SinglePartition" in p, p
 
 
+def test_curate_documents_plan_shape(spark):
+    """Composing five audits must cost the same plan as ONE collapse-
+    first audit: exactly two column-pruned scans (key branch + group
+    branch), the interpreted transforms materialized once each behind
+    the Generate barrier — 3 regexp_replace (one per PII pattern; a
+    collapsed Project would re-inline them into the md5), 1
+    regexp_extract_all, 1 split — and the blocklist applied as a literal
+    membership array (arrays_overlap), not a per-audit re-scan."""
+    from sparklog.queries import curate_documents
+
+    p = _plan(curate_documents(spark, SF))
+    assert p.count("Location:") == 2, p
+    assert p.count("regexp_replace") == 3, p
+    assert p.count("regexp_extract_all") == 1, p
+    assert p.count("split(") == 1, p
+    assert "arrays_overlap" in p, p
+
+
 def test_url_domain_topk_plan_shape(spark):
     """url_domain_topk must stay map-only up to ONE groupBy(domain): a
     single FileScan, partial aggregation before the domain shuffle
