@@ -329,6 +329,91 @@ def test_curate_documents_planted_reasons(spark, tmp_path):
     assert o == expect
 
 
+def test_curate_documents_differential_random(spark, tmp_path):
+    """Randomized differential: the composed verdict chain (reason
+    precedence, integer repetition rules, stopword langid, dim-membership
+    blocklist, PII scrub fingerprint) must equal an independent scalar
+    recomputation (Python re + sets on the driver) on a seeded corpus
+    mixing stopword-laden prose, repetition loops, URLs (planted-shape
+    and random domains), PII strings, multi-space text, empties and
+    NULLs.  Guards the Spark/DuckDB/`re` dialect and the when()-chain
+    ordering against every signal combination the generator can hit."""
+    import hashlib
+    import random
+    import re
+
+    import pandas as pd
+
+    from sparklog.queries import (
+        _CURATE_MIN_STOPWORDS,
+        _CURATE_MIN_WORDS,
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        _STOPWORDS,
+        _URL_DOMAIN_RX,
+        curate_documents,
+    )
+
+    rng = random.Random(0xC0DE)
+    frags = (list(_STOPWORDS) * 3
+             + ["alpha", "beta", "gamma", "delta", "x1", "x2", "loop",
+                "loop loop", "", " ",
+                "http://s0.example.com/a", "http://cdn-s1.example.net/b",
+                "https://random.org/z", "bob@x.org", "10.0.0.1",
+                "555-123-4567", "(555) 123 4567", "the the the the"])
+    nonstop = ["alpha", "beta", "gamma", "delta", "x1", "x2",
+               "bob@x.org", "https://random.org/z"]
+    texts = {}
+    for i in range(120):
+        n = rng.randint(0, 25)
+        pool = nonstop if i % 9 == 0 else frags   # force non_english docs
+        t = " ".join(rng.choice(pool) for _ in range(n))
+        texts[i] = t if (n and rng.random() > 0.05) else (None, "")[n % 2]
+
+    rows = [(i, t, "en", f"s{i % 3}") for i, t in texts.items()]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    dim = {dom for s in ("s0", "s1", "s2")
+           for dom in (f"{s}.example.com", f"cdn-{s}.example.net")
+           if hashlib.md5(dom.encode()).hexdigest()[0] in "0123"}
+
+    def verdict(t):
+        if t is None:
+            return (False, "null_text", None)
+        scrub = re.sub(_PII_PHONE,
+                       "<PHONE>",
+                       re.sub(_PII_IP, "<IP>",
+                              re.sub(_PII_EMAIL, "<EMAIL>", t)))
+        smd5 = hashlib.md5(scrub.encode()).hexdigest()
+        w = t.split(" ")
+        n1, d1 = len(w), len(set(w))
+        g2 = [" ".join(w[i:i + 2]) for i in range(n1 - 1)]
+        n2, d2 = len(g2), len(set(g2))
+        n_stop = sum(1 for x in w if x in _STOPWORDS)
+        if n1 < _CURATE_MIN_WORDS:
+            return (False, "too_short", smd5)
+        if n_stop < _CURATE_MIN_STOPWORDS:
+            return (False, "non_english", smd5)
+        if (n1 - d1) * 10 > n1 * 3 or (n2 - d2) * 5 > n2:
+            return (False, "repetitive", smd5)
+        if any(dom in dim for dom in re.findall(_URL_DOMAIN_RX, t)):
+            return (False, "blocked_domain", smd5)
+        return (True, "kept", smd5)
+
+    expect = {i: verdict(t) for i, t in texts.items()}
+    got = {r.doc_id: (r.keep, r.reason, r.scrubbed_md5)
+           for r in curate_documents(spark, d).collect()}
+    assert got == expect
+    # the generator must actually exercise the precedence chain
+    assert {r for _k, r, _m in expect.values()} >= {
+        "null_text", "too_short", "non_english", "repetitive", "kept"}
+
+
 def test_repetition_scores_on_planted_docs(spark, tmp_path):
     """Exact duplicate-fraction values on hand-computable docs, matching
     the DuckDB oracle: a pure repetition loop scores near 1, a
