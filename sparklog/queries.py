@@ -3438,11 +3438,30 @@ def curate_documents(spark, sf):
     the narrow (doc_id, gk) key table.  Composing five audits costs the
     same two column-pruned scans as any ONE sibling audit (key branch +
     group branch) and the single collapse shuffle — that is the point
-    of the composed pass vs running five operators."""
+    of the composed pass vs running five operators.
+
+    The gate query fingerprints the scrub (md5) so the oracle can hash-
+    compare; `curate_corpus` below returns the scrubbed TEXT itself —
+    the production output — through the identical plan, and
+    `pipeline.run_curate` writes it as the new corpus."""
+    return _curate_core(spark, sf, with_text=False)
+
+
+def curate_corpus(spark, sf):
+    """curate_documents with the scrubbed TEXT as the output column
+    (production corpus write) instead of its md5 fingerprint; same
+    collapse-first plan — the scrubbed string expands through the
+    (doc_id, gk) join exactly like its hash.  Carries ``source`` on the
+    narrow key branch (zero extra shuffle) so the corpus write keeps its
+    metadata without a doc_id self-join back to the input."""
+    return _curate_core(spark, sf, with_text=True, passthrough=("source",))
+
+
+def _curate_core(spark, sf, with_text: bool, passthrough: tuple = ()):
     import hashlib
 
     docs = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text")
+        F.col("doc_id").cast("long").alias("doc_id"), "text", *passthrough)
     srcs = [r.src for r in
             _t(spark, sf, "documents")
             .select(F.coalesce(F.col("source"), F.lit("nosrc"))
@@ -3456,7 +3475,7 @@ def curate_documents(spark, sf):
     gk = F.md5(F.concat_ws("\x1f",
                            F.col("text").isNull().cast("string"),
                            F.coalesce(F.col("text"), F.lit(""))))
-    keyed = docs.select("doc_id", gk.alias("gk"))
+    keyed = docs.select("doc_id", gk.alias("gk"), *passthrough)
     grp = docs.groupBy(gk.alias("gk")).agg(F.min("text").alias("t"))
     scrub = F.regexp_replace(
         F.regexp_replace(
@@ -3464,6 +3483,7 @@ def curate_documents(spark, sf):
                              F.lit("<EMAIL>")),
             F.lit(_PII_IP), F.lit("<IP>")),
         F.lit(_PII_PHONE), F.lit("<PHONE>"))
+    out_scrub = scrub if with_text else F.md5(scrub)
     mat = (grp.withColumn("w", F.split("t", " "))
               .select("gk", F.col("t").isNull().alias("is_null"),
                       F.explode(F.array(F.struct(
@@ -3472,7 +3492,7 @@ def curate_documents(spark, sf):
                           F.regexp_extract_all(
                               "t", F.lit(_URL_DOMAIN_RX), F.lit(1))
                            .alias("doms"),
-                          F.md5(scrub).alias("smd5")))).alias("x"))
+                          out_scrub.alias("smd5")))).alias("x"))
               .select("gk", "is_null", "x.w1", "x.g2", "x.doms", "x.smd5"))
     sw = ",".join(f"'{s}'" for s in _STOPWORDS)
     n1, d1 = F.size("w1"), F.size(F.array_distinct("w1"))
@@ -3490,13 +3510,14 @@ def curate_documents(spark, sf):
                      | ((n2 - d2) * 5 > n2), F.lit("repetitive"))
                .when(dom_hit, F.lit("blocked_domain"))
                .otherwise(F.lit("kept")))
+    out_col = "scrubbed_text" if with_text else "scrubbed_md5"
     sig = mat.select(
         "gk", reason.alias("reason"),
-        F.when(~F.col("is_null"), F.col("smd5")).alias("scrubbed_md5"))
+        F.when(~F.col("is_null"), F.col("smd5")).alias(out_col))
     return (keyed.join(sig, "gk")
-                 .select("doc_id",
+                 .select("doc_id", *passthrough,
                          (F.col("reason") == "kept").alias("keep"),
-                         "reason", "scrubbed_md5"))
+                         "reason", out_col))
 
 
 def _sql_curate() -> str:

@@ -223,3 +223,39 @@ def test_run_dedup_writes_outputs_and_bucket_metrics(spark, tmp_path):
     assert set(again["resumed_stages"]) == {"near_dup_pairs", "components",
                                             "dedup_metrics"}
     assert again["bucket_metrics"] == m
+
+
+def test_run_curate_writes_ledger_corpus_and_reasons(spark, tmp_path):
+    """The curation job writes the full verdict ledger + the scrubbed kept
+    corpus (with source metadata, no doc_id self-join) + per-reason counts,
+    and resumes stages idempotently through the manifest."""
+    import os
+    import re
+
+    from sparklog.pipeline import run_curate
+
+    out = str(tmp_path / "curate_out")
+    stats = run_curate(spark, "/root/testdata/sf0.001", out)
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").count()
+    assert stats["n_docs"] == n_docs
+    assert 0 < stats["n_kept"] < n_docs
+    assert set(stats["reasons"]) <= {"kept", "null_text", "too_short",
+                                     "non_english", "repetitive",
+                                     "blocked_domain"}
+    # ledger covers every doc; corpus is exactly the kept subset
+    ledger = spark.read.parquet(os.path.join(out, "curated"))
+    assert ledger.count() == n_docs
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.columns == ["doc_id", "source", "text"]
+    assert corpus.count() == stats["n_kept"]
+    # PII is scrubbed in the written corpus: no raw email survives
+    email_rx = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    leftover = [r["text"] for r in corpus.collect()
+                if r["text"] and re.search(email_rx, r["text"])]
+    assert leftover == []
+    # rerun resumes every stage from the manifest
+    again = run_curate(spark, "/root/testdata/sf0.001", out)
+    assert set(again["resumed_stages"]) == {"curated", "corpus",
+                                            "curate_metrics"}
+    assert again["reasons"] == stats["reasons"]
