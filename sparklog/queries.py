@@ -3520,9 +3520,16 @@ def _curate_core(spark, sf, with_text: bool, passthrough: tuple = ()):
                          "reason", out_col))
 
 
-def _sql_curate() -> str:
+def _sql_curate(with_text: bool = False) -> str:
     sw = ",".join(f"'{s}'" for s in _STOPWORDS)
     g2 = _word_ngrams_duck(2)
+    src_col = ", source" if with_text else ""
+    out_alias = "scrubbed_text" if with_text else "scrubbed_md5"
+    scrub_sql = f"""regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')"""
+    out_expr = scrub_sql if with_text else f"md5({scrub_sql})"
     return f"""
 WITH bl AS (
   SELECT dom FROM (
@@ -3534,11 +3541,12 @@ WITH bl AS (
   ) WHERE substring(md5(dom), 1, 1) IN ('0', '1', '2', '3')
 ), bll AS (SELECT list(dom) AS doms FROM bl),
 d AS (
-  SELECT doc_id::BIGINT AS doc_id, text, string_split(text, ' ') AS w,
+  SELECT doc_id::BIGINT AS doc_id, text{src_col},
+         string_split(text, ' ') AS w,
          regexp_extract_all(text, '{_URL_DOMAIN_RX}', 1) AS udoms
   FROM documents
 ), s AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text{src_col},
          len(w)::BIGINT AS n1, len(list_distinct(w))::BIGINT AS d1,
          len({g2})::BIGINT AS n2,
          len(list_distinct({g2}))::BIGINT AS d2,
@@ -3547,7 +3555,7 @@ d AS (
                   FALSE) AS dom_hit
   FROM d, bll
 ), v AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text{src_col},
          CASE WHEN text IS NULL THEN 'null_text'
               WHEN n1 < {_CURATE_MIN_WORDS} THEN 'too_short'
               WHEN n_stop < {_CURATE_MIN_STOPWORDS} THEN 'non_english'
@@ -3557,17 +3565,15 @@ d AS (
               ELSE 'kept' END AS reason
   FROM s
 )
-SELECT doc_id, reason = 'kept' AS keep, reason,
+SELECT doc_id{src_col}, reason = 'kept' AS keep, reason,
        CASE WHEN text IS NULL THEN NULL
-            ELSE md5(regexp_replace(regexp_replace(regexp_replace(text,
-                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
-                 '{_PII_IP}', '<IP>', 'g'),
-                 '{_PII_PHONE}', '<PHONE>', 'g')) END AS scrubbed_md5
+            ELSE {out_expr} END AS {out_alias}
 FROM v
 """
 
 
 SQL_CURATE_DOCUMENTS = _sql_curate()
+SQL_CURATE_CORPUS = _sql_curate(with_text=True)
 
 
 # registry: name -> (spark_fn, oracle_sql | None)
@@ -3646,4 +3652,5 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub_documents": (pii_scrub_documents, SQL_PII_SCRUB_DOCUMENTS),
     "url_domain_topk": (url_domain_topk, SQL_URL_DOMAIN_TOPK),
     "curate_documents": (curate_documents, SQL_CURATE_DOCUMENTS),
+    "curate_corpus": (curate_corpus, SQL_CURATE_CORPUS),
 }

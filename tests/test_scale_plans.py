@@ -286,3 +286,27 @@ def test_url_domain_topk_plan_shape(spark):
     assert "partial_count" in p, p              # map-side combine
     assert "BroadcastHashJoin" in p, p          # blocklist dim
     assert "Sort [" not in p.split("TakeOrderedAndProject")[0], p
+
+
+def test_curate_corpus_plan_prunes_passthrough_from_group_branch(spark):
+    """curate_corpus carries `source` on the narrow (doc_id, gk) key
+    branch only: the collapse/group branch's FileScan must still read
+    just `text` (ReadSchema pruning), the plan must keep the same
+    two-scan collapse-first shape as curate_documents, and exactly ONE
+    scan may read `source`.  A `source` column leaking into the groupBy
+    would both widen the collapse shuffle and break the
+    one-materialization-per-unique-text contract."""
+    import re
+
+    from sparklog.queries import curate_corpus
+
+    p = _plan(curate_corpus(spark, SF))
+    assert p.count("Location:") == 2, p
+    assert p.count("regexp_replace") == 3, p
+    schemas = re.findall(r"ReadSchema: (\S+)", p)
+    assert len(schemas) == 2, p
+    with_src = [s for s in schemas if "source" in s]
+    assert len(with_src) == 1, schemas
+    # the group branch reads text only — no doc_id, no source
+    group_branch = [s for s in schemas if "source" not in s]
+    assert group_branch and "doc_id" not in group_branch[0], schemas
