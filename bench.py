@@ -54,6 +54,7 @@ HEADLINE = [
     "url_domain_topk",
     "decontaminate_benchmark_tokens",
     "curate_documents",
+    "dedup_incremental",
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARKLOG_BENCH_ROWS", "400000"))

@@ -1250,6 +1250,186 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 SQL_DEDUP_MINHASH_LSH = _sql_minhash()
 
 
+def _gk_bands(grp: DataFrame) -> DataFrame:
+    """(gk, text) unique texts -> (gk, band): the dedup_minhash_lsh
+    signature machinery (4 min-hashes over word 3-grams from ONE md5 per
+    shingle, banded 2x2) keyed by the exact-collapse key instead of
+    doc_id.  <3-word texts emit no bands (shingle array empty -> no sig
+    rows), mirroring the oracle's len(w) >= 3 guard.  explode_outer +
+    post-filter, not explode: a plain explode makes Catalyst infer a
+    size(sh)>0 filter below the words projection and re-inline the
+    shingle lambda per element (see _minhash_rep_graph, measured 7x)."""
+    ex = (grp.withColumn("w", F.split("text", " "))
+             .select("gk", F.expr(_SHINGLES_SPARK.format(w="w")).alias("sh"))
+             .select("gk", F.explode_outer("sh").alias("s"))
+             .where(F.col("s").isNotNull())
+             .select("gk", F.md5("s").alias("h")))
+    sigs = ex.groupBy("gk").agg(
+        *[F.min(F.substring("h", 1 + 8 * k, 8)).alias(f"h{k}")
+          for k in range(4)])
+    return sigs.select("gk", F.explode(F.array(
+        F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1"),
+        F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
+
+
+def dedup_incremental(spark, sf):
+    """Incremental batch-vs-corpus dedup — the nightly production job:
+    dedup ONLY the newest crawl batch (the minimum non-NULL ``source``,
+    the deterministic stand-in for "today's partition") against the rest
+    of the corpus, never pairing corpus x corpus.  One row per batch doc:
+
+      exact_dup_corpus  its text already exists verbatim in the corpus
+      near_dup_corpus   it shares a MinHash LSH band (the
+                        dedup_minhash_lsh signature machinery, bit-
+                        identical) with some corpus text
+      dup_in_batch      an EARLIER batch doc (by doc_id) is an exact or
+                        band-sharing duplicate of it — keep-first within
+                        the batch
+      keep              non-NULL text and none of the above
+
+    Scale shape — the point vs re-running dedup_minhash_lsh over
+    corpus+batch: the corpus side is touched exactly twice, both times
+    STREAMED against a broadcast batch-derived probe list, and is never
+    self-joined.  (1) exact: corpus rows probe the broadcast batch key
+    list map-side; matches partial-agg down to <= unique-batch-keys
+    before the distinct.  (2) near: the corpus collapses to unique texts
+    (collapse-first, like every dedup path) and its band table probes
+    the broadcast batch band list the same way.  All batch-internal
+    machinery (group-min, band-min, flag joins) moves batch-sized rows
+    only.  The batch-side broadcast is gated in BYTES using the EXACT
+    batch row count, piggybacked on the same single bounded action that
+    picks the batch source (one (source, n) row); over the gate the
+    hints are dropped and AQE decides (the _maybe_bcast discipline).  In
+    production the corpus key/band tables are the artifacts run_dedup
+    already materializes, making this a pure probe job over the new
+    batch."""
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    head = (docs.where(F.col("source").isNotNull())
+                .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("source").limit(1).collect())
+    batch_src = head[0]["source"] if head else ""
+    batch_rows = head[0]["n"] if head else 0
+    if 2 * batch_rows * _OVERCAP_KEY_EST_BYTES < _OVERCAP_BCAST_MAX_BYTES:
+        bcast = F.broadcast
+    else:
+        def bcast(d):
+            return d
+
+    gk_expr = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    batch = (docs.where(F.col("source") == F.lit(batch_src))
+                 .select("doc_id", "text"))
+    bk = (batch.where(F.col("text").isNotNull())
+               .select("doc_id", gk_expr.alias("gk")))
+    b_grp = (batch.where(F.col("text").isNotNull())
+                  .groupBy(gk_expr.alias("gk"))
+                  .agg(F.min("text").alias("text")))
+    b_bands = _gk_bands(b_grp)
+
+    corpus = (docs.where(F.col("source").isNull()
+                         | (F.col("source") != F.lit(batch_src)))
+                  .where(F.col("text").isNotNull()))
+    exact_gks = (corpus.select(gk_expr.alias("gk"))
+                 .join(bcast(b_grp.select("gk")), "gk")
+                 .distinct()
+                 .withColumn("exact_dup_corpus", F.lit(True)))
+    c_bands = _gk_bands(
+        corpus.groupBy(gk_expr.alias("gk")).agg(F.min("text").alias("text")))
+    near_gks = (c_bands.select("band")
+                .join(bcast(b_bands), "band")
+                .select("gk").distinct()
+                .withColumn("near_dup_corpus", F.lit(True)))
+
+    gmin = bk.groupBy("gk").agg(F.min("doc_id").alias("gmin"))
+    band_min = (b_bands.join(bk, "gk")
+                .groupBy("band").agg(F.min("doc_id").alias("bmin")))
+    gk_bmin = (b_bands.join(band_min, "band")
+               .groupBy("gk").agg(F.min("bmin").alias("bmin")))
+    flags = (bk.join(gmin, "gk")
+               .join(gk_bmin, "gk", "left")
+               .join(exact_gks, "gk", "left")
+               .join(near_gks, "gk", "left")
+               .select(
+                   "doc_id",
+                   F.coalesce("exact_dup_corpus", F.lit(False))
+                    .alias("exact_dup_corpus"),
+                   F.coalesce("near_dup_corpus", F.lit(False))
+                    .alias("near_dup_corpus"),
+                   ((F.col("gmin") < F.col("doc_id"))
+                    | (F.col("bmin").isNotNull()
+                       & (F.col("bmin") < F.col("doc_id"))))
+                   .alias("dup_in_batch")))
+    return (batch.select("doc_id",
+                         F.col("text").isNotNull().alias("has_text"))
+            .join(flags, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("exact_dup_corpus", F.lit(False))
+                     .alias("exact_dup_corpus"),
+                    F.coalesce("near_dup_corpus", F.lit(False))
+                     .alias("near_dup_corpus"),
+                    F.coalesce("dup_in_batch", F.lit(False))
+                     .alias("dup_in_batch"), "has_text")
+            .select("doc_id", "exact_dup_corpus", "near_dup_corpus",
+                    "dup_in_batch",
+                    (F.col("has_text") & ~F.col("exact_dup_corpus")
+                     & ~F.col("near_dup_corpus")
+                     & ~F.col("dup_in_batch")).alias("keep")))
+
+
+def _sql_dedup_incremental() -> str:
+    w = "string_split(text, ' ')"
+    sh = _SHINGLES_DUCK.format(w=w)
+    sig = ", ".join(
+        f"list_min(list_transform({sh}, s -> substr(md5(s), {1 + 8 * k}, 8)"
+        f")) AS h{k}"
+        for k in range(4))
+    return f"""
+WITH bsrc AS (SELECT min(source) AS s FROM documents
+              WHERE source IS NOT NULL),
+b AS (
+  SELECT doc_id::BIGINT AS doc_id, text
+  FROM documents, bsrc WHERE source = bsrc.s
+), c AS (
+  SELECT text FROM documents, bsrc
+  WHERE (source IS NULL OR source != bsrc.s) AND text IS NOT NULL
+), bsig AS (
+  SELECT doc_id, {sig} FROM b
+  WHERE text IS NOT NULL AND len({w}) >= 3
+), bb AS (
+  SELECT doc_id, 'b0:' || h0 || '|' || h1 AS band FROM bsig
+  UNION ALL
+  SELECT doc_id, 'b1:' || h2 || '|' || h3 AS band FROM bsig
+), csig AS (
+  SELECT {sig} FROM (SELECT DISTINCT text FROM c) WHERE len({w}) >= 3
+), cb AS (
+  SELECT DISTINCT band FROM (
+    SELECT 'b0:' || h0 || '|' || h1 AS band FROM csig
+    UNION ALL
+    SELECT 'b1:' || h2 || '|' || h3 AS band FROM csig)
+), f AS (
+  SELECT b.doc_id,
+         EXISTS (SELECT 1 FROM c WHERE c.text = b.text)
+           AS exact_dup_corpus,
+         EXISTS (SELECT 1 FROM bb JOIN cb USING (band)
+                 WHERE bb.doc_id = b.doc_id) AS near_dup_corpus,
+         (EXISTS (SELECT 1 FROM b b2
+                  WHERE b2.doc_id < b.doc_id AND b2.text = b.text)
+          OR EXISTS (SELECT 1 FROM bb x JOIN bb y ON x.band = y.band
+                     AND y.doc_id < x.doc_id
+                     WHERE x.doc_id = b.doc_id)) AS dup_in_batch,
+         text IS NOT NULL AS has_text
+  FROM b
+)
+SELECT doc_id, exact_dup_corpus, near_dup_corpus, dup_in_batch,
+       (has_text AND NOT exact_dup_corpus AND NOT near_dup_corpus
+        AND NOT dup_in_batch) AS keep
+FROM f
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
+
+
 def _cc_labels(vertices: DataFrame, pairs: DataFrame,
                max_iter: int = 20):
     """Min-label connected components over (v) vertices and (a, b) edges:
@@ -3606,6 +3786,7 @@ REGISTRY: dict[str, tuple] = {
                               SQL_DEDUP_EXACT_DOCUMENTS),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_incremental": (dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_connected_components": (dedup_connected_components,
                                    SQL_DEDUP_CONNECTED_COMPONENTS),
     "ann_cosine_topk": (ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -240,3 +240,65 @@ def test_ngram_null_blocking_fields_never_pair(spark, tmp_path):
     got = _pairs(spark_fn(spark, d).toPandas())
     want = _pairs(_oracle(d, "documents", SQL_DEDUP_NGRAM_JACCARD))
     assert got == want == {(3, 4, 1.0)}
+
+
+def test_dedup_incremental_planted_flags(spark, tmp_path):
+    """Hand-computed verdicts for the batch-vs-corpus job: batch = min
+    source ('aa').  Covers exact-in-corpus, near-not-exact-in-corpus
+    (equal shingle SETS but different texts -> identical signature),
+    fresh doc, <3-word doc (no bands: only the exact path can flag it),
+    NULL text (all false, keep false), within-batch exact + near +
+    short-exact dups (keep-first by doc_id), and a NULL-text corpus row
+    (inert).  The DuckDB oracle must agree row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import SQL_DEDUP_INCREMENTAL, dedup_incremental
+
+    batch = {
+        10: "alpha beta gamma delta",            # exact dup of corpus 100
+        11: "p q r p q r",                       # near dup of corpus 101
+        12: "unique text number twelve entirely fresh",
+        13: "hi there",                          # <3 words, fresh
+        14: None,
+        15: "alpha beta gamma delta",            # dup of corpus AND of 10
+        16: "m n o m n o",                       # fresh; 17's near-twin
+        17: "m n o m n o m",                     # near dup of 16 in batch
+        18: "hi there",                          # exact dup of 13 in batch
+    }
+    corpus = {100: "alpha beta gamma delta",
+              101: "p q r p q r p",
+              102: "completely different corpus text here",
+              103: None}
+    rows = ([(i, t, "en", "aa") for i, t in batch.items()]
+            + [(i, t, "en", "zz") for i, t in corpus.items()])
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    expect = {  # (exact_dup_corpus, near_dup_corpus, dup_in_batch, keep)
+        10: (True, True, False, False),
+        11: (False, True, False, False),
+        12: (False, False, False, True),
+        13: (False, False, False, True),
+        14: (False, False, False, False),
+        15: (True, True, True, False),
+        16: (False, False, False, True),
+        17: (False, False, True, False),
+        18: (False, False, True, False),
+    }
+    got = {r.doc_id: (r.exact_dup_corpus, r.near_dup_corpus,
+                      r.dup_in_batch, r.keep)
+           for r in dedup_incremental(spark, d).collect()}
+    assert got == expect
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_DEDUP_INCREMENTAL).df()
+    o = {int(r.doc_id): (bool(r.exact_dup_corpus), bool(r.near_dup_corpus),
+                         bool(r.dup_in_batch), bool(r.keep))
+         for _, r in odf.iterrows()}
+    assert o == expect

@@ -310,3 +310,17 @@ def test_curate_corpus_plan_prunes_passthrough_from_group_branch(spark):
     # the group branch reads text only — no doc_id, no source
     group_branch = [s for s in schemas if "source" not in s]
     assert group_branch and "doc_id" not in group_branch[0], schemas
+
+
+def test_dedup_incremental_plan_probes_corpus_with_broadcast(spark):
+    """The incremental job's contract is that the corpus side is only
+    ever STREAMED against broadcast batch-derived probe lists: at this
+    (small-batch) scale both corpus joins must be BroadcastHashJoins,
+    and nothing in the plan may degenerate to a cartesian product.  The
+    corpus near path must also stay collapse-first: its band subtree
+    aggregates unique texts (min(text) by key) before shingling."""
+    from sparklog.queries import dedup_incremental
+
+    p = _plan(dedup_incremental(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
