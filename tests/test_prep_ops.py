@@ -814,3 +814,21 @@ def test_url_domain_extraction_differential_random(spark, tmp_path):
     got = {r.domain: (r.n_urls, r.n_docs, r.blocked)
            for r in url_domain_topk(spark, d).collect()}
     assert got == expect
+
+
+def test_ann_recall_report_invariants(spark):
+    """The recall report's internal consistency: one row per non-zero-norm
+    query, n_hits <= min(n_exact, n_ivf), recall = n_hits/n_exact
+    (rounded), everything bounded [0, 1].  Value-level parity with the
+    combined-CTE oracle is the registry gate; this pins the invariants a
+    reader relies on when the report flags a bad codebook."""
+    from sparklog.queries import ann_recall_report
+
+    rows = ann_recall_report(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r.n_exact <= 3
+        assert 0 <= r.n_ivf <= 3
+        assert 0 <= r.n_hits <= min(r.n_exact, r.n_ivf)
+        assert abs(r.recall - round(r.n_hits / r.n_exact, 4)) < 1e-9
+        assert 0.0 <= r.recall <= 1.0
