@@ -1272,6 +1272,53 @@ def _gk_bands(grp: DataFrame) -> DataFrame:
         F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
 
 
+def _gk():
+    """Non-nullable exact-collapse key (a nullable md5(text) re-inlines a
+    second full-text md5 into pushed-down isnotnull filters — the round-5
+    finding); callers filter text IS NOT NULL before relying on it for
+    equality.  A function, not a module constant: building a Column
+    requires an active SparkContext."""
+    return F.md5(F.coalesce(F.col("text"), F.lit("")))
+
+
+def _probe_corpus_flags(batch: DataFrame, c_gks: DataFrame,
+                        c_bands: DataFrame, bcast) -> tuple:
+    """The corpus-facing probe of incremental dedup, shared by the batch
+    op (dedup_incremental) and the streaming wrapper
+    (streaming.incremental_dedup_stream): batch (doc_id, text) x the
+    corpus key table c_gks (gk) and band table c_bands (gk, band) ->
+    (bk, b_bands, probe) where probe has one row PER batch doc:
+    (doc_id, exact_dup_corpus, near_dup_corpus), NULL-text docs flagged
+    false.  Both corpus tables are STREAMED against the bcast-wrapped
+    batch lists — the caller picks the broadcast policy (byte-gated for
+    the batch op; unconditional for bounded streaming epochs)."""
+    bk = (batch.where(F.col("text").isNotNull())
+               .select("doc_id", _gk().alias("gk")))
+    b_grp = (batch.where(F.col("text").isNotNull())
+                  .groupBy(_gk().alias("gk"))
+                  .agg(F.min("text").alias("text")))
+    b_bands = _gk_bands(b_grp)
+    exact_gks = (c_gks.join(bcast(b_grp.select("gk")), "gk")
+                 .distinct()
+                 .withColumn("exact_dup_corpus", F.lit(True)))
+    near_gks = (c_bands.select("band")
+                .join(bcast(b_bands), "band")
+                .select("gk").distinct()
+                .withColumn("near_dup_corpus", F.lit(True)))
+    probe = (batch.select("doc_id", _gk().alias("gk"),
+                          F.col("text").isNotNull().alias("ht"))
+             .join(exact_gks, "gk", "left")
+             .join(near_gks, "gk", "left")
+             .select("doc_id",
+                     (F.col("ht") & F.coalesce("exact_dup_corpus",
+                                               F.lit(False)))
+                     .alias("exact_dup_corpus"),
+                     (F.col("ht") & F.coalesce("near_dup_corpus",
+                                               F.lit(False)))
+                     .alias("near_dup_corpus")))
+    return bk, b_bands, probe
+
+
 def dedup_incremental(spark, sf):
     """Incremental batch-vs-corpus dedup — the nightly production job:
     dedup ONLY the newest crawl batch (the minimum non-NULL ``source``,
@@ -1316,29 +1363,15 @@ def dedup_incremental(spark, sf):
         def bcast(d):
             return d
 
-    gk_expr = F.md5(F.coalesce(F.col("text"), F.lit("")))
     batch = (docs.where(F.col("source") == F.lit(batch_src))
                  .select("doc_id", "text"))
-    bk = (batch.where(F.col("text").isNotNull())
-               .select("doc_id", gk_expr.alias("gk")))
-    b_grp = (batch.where(F.col("text").isNotNull())
-                  .groupBy(gk_expr.alias("gk"))
-                  .agg(F.min("text").alias("text")))
-    b_bands = _gk_bands(b_grp)
-
     corpus = (docs.where(F.col("source").isNull()
                          | (F.col("source") != F.lit(batch_src)))
                   .where(F.col("text").isNotNull()))
-    exact_gks = (corpus.select(gk_expr.alias("gk"))
-                 .join(bcast(b_grp.select("gk")), "gk")
-                 .distinct()
-                 .withColumn("exact_dup_corpus", F.lit(True)))
+    c_gks = corpus.select(_gk().alias("gk"))
     c_bands = _gk_bands(
-        corpus.groupBy(gk_expr.alias("gk")).agg(F.min("text").alias("text")))
-    near_gks = (c_bands.select("band")
-                .join(bcast(b_bands), "band")
-                .select("gk").distinct()
-                .withColumn("near_dup_corpus", F.lit(True)))
+        corpus.groupBy(_gk().alias("gk")).agg(F.min("text").alias("text")))
+    bk, b_bands, probe = _probe_corpus_flags(batch, c_gks, c_bands, bcast)
 
     gmin = bk.groupBy("gk").agg(F.min("doc_id").alias("gmin"))
     band_min = (b_bands.join(bk, "gk")
@@ -1347,26 +1380,17 @@ def dedup_incremental(spark, sf):
                .groupBy("gk").agg(F.min("bmin").alias("bmin")))
     flags = (bk.join(gmin, "gk")
                .join(gk_bmin, "gk", "left")
-               .join(exact_gks, "gk", "left")
-               .join(near_gks, "gk", "left")
                .select(
                    "doc_id",
-                   F.coalesce("exact_dup_corpus", F.lit(False))
-                    .alias("exact_dup_corpus"),
-                   F.coalesce("near_dup_corpus", F.lit(False))
-                    .alias("near_dup_corpus"),
                    ((F.col("gmin") < F.col("doc_id"))
                     | (F.col("bmin").isNotNull()
                        & (F.col("bmin") < F.col("doc_id"))))
                    .alias("dup_in_batch")))
     return (batch.select("doc_id",
                          F.col("text").isNotNull().alias("has_text"))
+            .join(probe, "doc_id")
             .join(flags, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("exact_dup_corpus", F.lit(False))
-                     .alias("exact_dup_corpus"),
-                    F.coalesce("near_dup_corpus", F.lit(False))
-                     .alias("near_dup_corpus"),
+            .select("doc_id", "exact_dup_corpus", "near_dup_corpus",
                     F.coalesce("dup_in_batch", F.lit(False))
                      .alias("dup_in_batch"), "has_text")
             .select("doc_id", "exact_dup_corpus", "near_dup_corpus",
@@ -1376,7 +1400,10 @@ def dedup_incremental(spark, sf):
                      & ~F.col("dup_in_batch")).alias("keep")))
 
 
-def _sql_dedup_incremental() -> str:
+def _sql_incr_ctes() -> str:
+    """The WITH block shared by the batch and streaming incremental-dedup
+    oracles: batch/corpus split, batch per-doc bands, corpus distinct
+    bands."""
     w = "string_split(text, ' ')"
     sh = _SHINGLES_DUCK.format(w=w)
     sig = ", ".join(
@@ -1406,7 +1433,11 @@ b AS (
     SELECT 'b0:' || h0 || '|' || h1 AS band FROM csig
     UNION ALL
     SELECT 'b1:' || h2 || '|' || h3 AS band FROM csig)
-), f AS (
+)"""
+
+
+def _sql_dedup_incremental() -> str:
+    return _sql_incr_ctes() + """, f AS (
   SELECT b.doc_id,
          EXISTS (SELECT 1 FROM c WHERE c.text = b.text)
            AS exact_dup_corpus,
@@ -1428,6 +1459,54 @@ FROM f
 
 
 SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
+
+
+def streaming_incremental_dedup(spark, sf):
+    """Streaming parity for the corpus-probe half of dedup_incremental
+    (the continuous-ingestion production deployment): the batch (min
+    source) rides a file-source stream through MULTIPLE availableNow
+    epochs (repartition(4) input, maxFilesPerTrigger=2), each epoch
+    probing the static corpus key/band tables prepared once
+    (streaming.run_incremental_dedup_stream).  The unioned epoch outputs
+    must equal the batch operator's corpus-facing flags EXACTLY: the
+    probe flags are pure per-doc functions of (doc text, static corpus),
+    so the epoch split cannot change them — that invariance is what this
+    gate checks.  Within-batch keep-first is a whole-batch ordering
+    concern and stays with the batch op."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    head = (docs.where(F.col("source").isNotNull())
+                .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("source").limit(1).collect())
+    batch_src = head[0]["source"] if head else ""
+    tag = _source_fingerprint(os.path.join(sf, "documents.parquet"))
+    b_dir = f"/tmp/sparklog_stream_batchdocs_{tag}"
+    if not os.path.exists(os.path.join(b_dir, "_SUCCESS")):
+        (docs.where(F.col("source") == F.lit(batch_src))
+             .select("doc_id", "text").repartition(4)
+             .write.mode("overwrite").parquet(b_dir))
+    corpus = (docs.where(F.col("source").isNull()
+                         | (F.col("source") != F.lit(batch_src)))
+                  .select("doc_id", "text"))
+
+    from .streaming import run_incremental_dedup_stream
+    out = run_incremental_dedup_stream(
+        spark, b_dir, corpus,
+        tempfile.mkdtemp(prefix="slid_out_"),
+        tempfile.mkdtemp(prefix="slid_ck_"))
+    return out.select("doc_id", "exact_dup_corpus", "near_dup_corpus")
+
+
+SQL_STREAMING_INCREMENTAL_DEDUP = _sql_incr_ctes() + """
+SELECT b.doc_id,
+       EXISTS (SELECT 1 FROM c WHERE c.text = b.text) AS exact_dup_corpus,
+       EXISTS (SELECT 1 FROM bb JOIN cb USING (band)
+               WHERE bb.doc_id = b.doc_id) AS near_dup_corpus
+FROM b
+"""
 
 
 def _cc_labels(vertices: DataFrame, pairs: DataFrame,
@@ -3890,6 +3969,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_incremental": (dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "streaming_incremental_dedup": (streaming_incremental_dedup,
+                                    SQL_STREAMING_INCREMENTAL_DEDUP),
     "dedup_connected_components": (dedup_connected_components,
                                    SQL_DEDUP_CONNECTED_COMPONENTS),
     "ann_cosine_topk": (ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -227,3 +227,60 @@ def run_streaming_hourly_batch(spark: SparkSession, tokens_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+DOCS_STREAM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def run_incremental_dedup_stream(spark: SparkSession, batch_dir: str,
+                                 corpus: DataFrame, out_dir: str,
+                                 checkpoint: str,
+                                 max_files: int = 2) -> DataFrame:
+    """Continuous-ingestion dedup: a file-source stream of new documents
+    probes the STATIC corpus's key/band tables per epoch (stream-static
+    via foreachBatch, so each epoch runs the exact batch probe operator
+    — queries._probe_corpus_flags), writing per-epoch flag rows with the
+    same epoch-partition overwrite idempotence as start_streaming_job.
+
+    The corpus tables are prepared ONCE, deduplicated to unique keys,
+    and persisted — they are the artifacts a nightly run_dedup
+    materializes in production — so each epoch pays only its own probe,
+    never a corpus rescan.  Epoch inputs are bounded by
+    maxFilesPerTrigger, so the probe lists are broadcast
+    unconditionally.  Within-batch keep-first is deliberately NOT
+    computed here: it depends on whole-batch doc ordering, a
+    batch/compaction concern (queries.dedup_incremental), not a
+    per-epoch one — which is exactly why the unioned epoch outputs equal
+    the batch operator's corpus-facing flags regardless of how the file
+    source splits epochs."""
+    from .queries import _gk, _gk_bands, _probe_corpus_flags
+
+    cdocs = corpus.where(F.col("text").isNotNull())
+    c_gks = cdocs.select(_gk().alias("gk")).distinct().persist()
+    c_bands = _gk_bands(
+        cdocs.groupBy(_gk().alias("gk"))
+             .agg(F.min("text").alias("text"))).persist()
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        _, _, probe = _probe_corpus_flags(df, c_gks, c_bands, F.broadcast)
+        (probe.withColumn("epoch", F.lit(epoch_id))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("epoch")
+              .parquet(out_dir))
+
+    q = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
+         .option("maxFilesPerTrigger", max_files)
+         .parquet(batch_dir)
+         .writeStream.foreachBatch(write_epoch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    c_gks.unpersist()
+    c_bands.unpersist()
+    return out

@@ -172,3 +172,35 @@ def test_streaming_epoch_replay_is_exactly_once(spark, tmp_path):
     replayed = spark.read.parquet(out_dir + "/sinks")
     assert replayed.count() == 400                       # no duplicates
     assert replayed.select("doc_id").distinct().count() == 400
+
+
+def test_streaming_incremental_dedup_epochs_and_batch_parity(spark, tmp_path):
+    """The continuous-ingestion dedup must (a) actually split the input
+    into multiple epochs (maxFilesPerTrigger=2 over a 4-file batch dir)
+    and (b) produce, across all epochs, exactly the batch operator's
+    corpus-facing flags — the probe is a pure per-doc function of
+    (text, static corpus), so the epoch split must be invisible."""
+    from pyspark.sql import functions as F
+
+    from sparklog.queries import _t, dedup_incremental
+    from sparklog.streaming import run_incremental_dedup_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    batch_src = (docs.where(F.col("source").isNotNull())
+                     .agg(F.min("source")).collect()[0][0])
+    b_dir = str(tmp_path / "batch")
+    (docs.where(F.col("source") == batch_src).select("doc_id", "text")
+         .repartition(4).write.parquet(b_dir))
+    corpus = (docs.where(F.col("source") != batch_src)
+                  .select("doc_id", "text"))
+
+    out = run_incremental_dedup_stream(
+        spark, b_dir, corpus, str(tmp_path / "out"), str(tmp_path / "ck"))
+    assert out.select("epoch").distinct().count() >= 2
+    got = {r.doc_id: (r.exact_dup_corpus, r.near_dup_corpus)
+           for r in out.collect()}
+    want = {r.doc_id: (r.exact_dup_corpus, r.near_dup_corpus)
+            for r in dedup_incremental(spark, sf).collect()}
+    assert got == want
