@@ -302,3 +302,80 @@ def test_dedup_incremental_planted_flags(spark, tmp_path):
                          bool(r.dup_in_batch), bool(r.keep))
          for _, r in odf.iterrows()}
     assert o == expect
+
+
+def test_dedup_incremental_differential_random(spark, tmp_path):
+    """Randomized differential: an INDEPENDENT pure-Python recomputation
+    (hashlib shingle min-hash, 2x2 banding, set logic — no Spark, no
+    DuckDB) of all four flags on a seeded random corpus with planted
+    duplicate structure (exact copies, single-word mutations, NULL
+    texts, short docs, multi-space runs).  The registry gate already
+    pins Spark==DuckDB; this pins both against a third implementation."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from sparklog.queries import dedup_incremental
+
+    rng = random.Random(406)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "x", "y"]
+
+    def make_text():
+        n = rng.randint(0, 12)
+        sep = "  " if rng.random() < 0.1 else " "
+        return sep.join(rng.choice(vocab) for _ in range(n))
+
+    docs, pool = [], []
+    for did in range(120):
+        r = rng.random()
+        if r < 0.25 and pool:
+            t = rng.choice(pool)
+        elif r < 0.35 and pool:
+            t = " ".join(rng.choice(pool).split(" ") + [rng.choice(vocab)])
+        elif r < 0.40:
+            t = None
+        else:
+            t = make_text()
+            pool.append(t)
+        src = "aa" if rng.random() < 0.3 else rng.choice(["mm", "zz"])
+        docs.append((did, t, "en", src))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    def bands(t):
+        w = t.split(" ")
+        sh = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        if not sh:
+            return set()
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        h = [min(x[8 * k:8 * k + 8] for x in hs) for k in range(4)]
+        return {f"b0:{h[0]}|{h[1]}", f"b1:{h[2]}|{h[3]}"}
+
+    b = [(i, t) for i, t, _l, s in docs if s == "aa"]
+    c_texts = {t for i, t, _l, s in docs if s != "aa" and t is not None}
+    c_bands = set().union(*(bands(t) for t in c_texts)) if c_texts else set()
+    expect = {}
+    for i, t in b:
+        if t is None:
+            expect[i] = (False, False, False, False)
+            continue
+        ex = t in c_texts
+        nb = bands(t)
+        near = bool(nb & c_bands)
+        dupb = any(j < i and u is not None and (u == t or (bands(u) & nb))
+                   for j, u in b)
+        expect[i] = (ex, near, dupb, not (ex or near or dupb))
+
+    got = {r.doc_id: (r.exact_dup_corpus, r.near_dup_corpus,
+                      r.dup_in_batch, r.keep)
+           for r in dedup_incremental(spark, d).collect()}
+    assert got == expect
+    # the random corpus must actually exercise every channel
+    cols = list(zip(*expect.values()))
+    assert all(any(c) and not all(c) for c in cols), cols
+    assert any(t is None for _i, t in b)
