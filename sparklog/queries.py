@@ -1133,7 +1133,7 @@ def _minhash_rep_graph(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
     docs = (_t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text")
         .where(F.col("text").isNotNull()))
-    gk_expr = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    gk_expr = _gk()
     # footer row count sizes the cascade's broadcast gate (bands emit 2
     # rows per UNIQUE text <= 2 * n_docs)
     n_docs = _table_rowcount(spark, sf, "documents")
@@ -1155,23 +1155,7 @@ def _minhash_rep_graph(spark, sf, bucket_cap: int = LSH_BUCKET_CAP):
     membership = _persist(keyed.select("gk", "doc_id").join(groups, "gk")
                           .select("doc_id", "rep"))
     reps = grp_t.select(F.col("rep").alias("doc_id"), "text")
-    # explode_outer + post-filter: a plain explode makes Catalyst infer a
-    # size(sh)>0 filter and push it BELOW the words projection, re-inlining
-    # the shingle lambda over split(text) per element (measured 7x cost)
-    exploded = (_with_shingles(reps)
-                .select("doc_id", F.explode_outer("sh").alias("s"))
-                .where(F.col("s").isNotNull())
-                .select("doc_id", F.md5("s").alias("h")))
-    sigs = (exploded
-            .groupBy("doc_id")
-            .agg(*[F.min(F.substring("h", 1 + 8 * k, 8)).alias(f"h{k}")
-                   for k in range(4)]))
-    bands = sigs.select(
-        "doc_id",
-        F.concat_ws("|", "h0", "h1", "h2", "h3").alias("fullsig"),
-        F.explode(F.array(
-            F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1"),
-            F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
+    bands = _sig_bands(reps, "doc_id")
     rep_pairs = _bucket_pairs(bands, "band", "doc_id", bucket_cap,
                               refine=F.col("fullsig"),
                               approx_rows=2 * n_docs)
@@ -1250,26 +1234,39 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 SQL_DEDUP_MINHASH_LSH = _sql_minhash()
 
 
-def _gk_bands(grp: DataFrame) -> DataFrame:
-    """(gk, text) unique texts -> (gk, band): the dedup_minhash_lsh
-    signature machinery (4 min-hashes over word 3-grams from ONE md5 per
-    shingle, banded 2x2) keyed by the exact-collapse key instead of
-    doc_id.  <3-word texts emit no bands (shingle array empty -> no sig
-    rows), mirroring the oracle's len(w) >= 3 guard.  explode_outer +
-    post-filter, not explode: a plain explode makes Catalyst infer a
-    size(sh)>0 filter below the words projection and re-inline the
-    shingle lambda per element (see _minhash_rep_graph, measured 7x)."""
-    ex = (grp.withColumn("w", F.split("text", " "))
-             .select("gk", F.expr(_SHINGLES_SPARK.format(w="w")).alias("sh"))
-             .select("gk", F.explode_outer("sh").alias("s"))
-             .where(F.col("s").isNotNull())
-             .select("gk", F.md5("s").alias("h")))
-    sigs = ex.groupBy("gk").agg(
+def _sig_bands(d: DataFrame, key: str) -> DataFrame:
+    """(key, text) unique texts -> (key, fullsig, band): THE MinHash
+    signature machinery — 4 min-hashes over word 3-grams derived from
+    ONE md5 per shingle (8-hex-char digest substrings), banded 2x2 —
+    shared by _minhash_rep_graph (keyed by rep doc_id) and the
+    incremental-dedup probe (keyed by the exact-collapse gk).  One
+    definition so the two paths can never desynchronize from each other
+    or their oracles.  <3-word texts emit no bands (empty shingle array
+    -> no sig rows), mirroring the oracles' len(w) >= 3 guard.
+    explode_outer + post-filter, not explode: a plain explode makes
+    Catalyst infer a size(sh)>0 filter below the words projection and
+    re-inline the shingle lambda per element (measured 7x)."""
+    ex = (d.withColumn("w", F.split("text", " "))
+           .select(key, F.expr(_SHINGLES_SPARK.format(w="w")).alias("sh"))
+           .select(key, F.explode_outer("sh").alias("s"))
+           .where(F.col("s").isNotNull())
+           .select(key, F.md5("s").alias("h")))
+    sigs = ex.groupBy(key).agg(
         *[F.min(F.substring("h", 1 + 8 * k, 8)).alias(f"h{k}")
           for k in range(4)])
-    return sigs.select("gk", F.explode(F.array(
-        F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1"),
-        F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
+    return sigs.select(
+        key,
+        F.concat_ws("|", "h0", "h1", "h2", "h3").alias("fullsig"),
+        F.explode(F.array(
+            F.concat(F.lit("b0:"), "h0", F.lit("|"), "h1"),
+            F.concat(F.lit("b1:"), "h2", F.lit("|"), "h3"))).alias("band"))
+
+
+def _gk_bands(grp: DataFrame) -> DataFrame:
+    """_sig_bands keyed by the exact-collapse key, fullsig dropped — the
+    incremental probe joins on band alone, and the broadcast batch band
+    list should not ship signature strings it never reads."""
+    return _sig_bands(grp, "gk").select("gk", "band")
 
 
 def _gk():
@@ -1288,10 +1285,12 @@ def _probe_corpus_flags(batch: DataFrame, c_gks: DataFrame,
     (streaming.incremental_dedup_stream): batch (doc_id, text) x the
     corpus key table c_gks (gk) and band table c_bands (gk, band) ->
     (bk, b_bands, probe) where probe has one row PER batch doc:
-    (doc_id, exact_dup_corpus, near_dup_corpus), NULL-text docs flagged
-    false.  Both corpus tables are STREAMED against the bcast-wrapped
-    batch lists — the caller picks the broadcast policy (byte-gated for
-    the batch op; unconditional for bounded streaming epochs)."""
+    (doc_id, exact_dup_corpus, near_dup_corpus, has_text), NULL-text
+    docs flagged false (has_text rides along so callers composing a
+    keep verdict don't re-scan the batch).  Both corpus tables are
+    STREAMED against the bcast-wrapped batch lists — the caller picks
+    the broadcast policy (byte-gated for the batch op; unconditional for
+    bounded streaming epochs)."""
     bk = (batch.where(F.col("text").isNotNull())
                .select("doc_id", _gk().alias("gk")))
     b_grp = (batch.where(F.col("text").isNotNull())
@@ -1315,7 +1314,8 @@ def _probe_corpus_flags(batch: DataFrame, c_gks: DataFrame,
                      .alias("exact_dup_corpus"),
                      (F.col("ht") & F.coalesce("near_dup_corpus",
                                                F.lit(False)))
-                     .alias("near_dup_corpus")))
+                     .alias("near_dup_corpus"),
+                     F.col("ht").alias("has_text")))
     return bk, b_bands, probe
 
 
@@ -1386,9 +1386,7 @@ def dedup_incremental(spark, sf):
                     | (F.col("bmin").isNotNull()
                        & (F.col("bmin") < F.col("doc_id"))))
                    .alias("dup_in_batch")))
-    return (batch.select("doc_id",
-                         F.col("text").isNotNull().alias("has_text"))
-            .join(probe, "doc_id")
+    return (probe
             .join(flags, "doc_id", "left")
             .select("doc_id", "exact_dup_corpus", "near_dup_corpus",
                     F.coalesce("dup_in_batch", F.lit(False))
@@ -1759,31 +1757,40 @@ def dedup_path_metrics(spark, sf, cc_stats: dict | None = None
     return out.unionByName(cc_row)
 
 
-def ann_cosine_topk(spark, sf):
-    """Brute-force cosine top-5: query vectors (vec_id<10) vs the corpus.
+def _brute_topk(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """Brute-force cosine top-k: q (query_id, qv) BROADCAST against c
+    (neighbor_id, v) — the corpus stays partition-local, never shuffled.
     Ranks computed on the ROUNDED similarity with an id tiebreak so both
-    engines rank identically.  The scale path broadcasts the query side —
-    corpus stays partition-local (no shuffle of the big side)."""
-    e = _t(spark, sf, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    c = e.where(F.col("vec_id") >= 10)
+    engines rank identically.  ONE definition shared by ann_cosine_topk
+    (the published op) and ann_recall_report (whose 'exact truth' side
+    must never diverge from it)."""
     dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, "
                  "(acc, x) -> acc + x)")
     nq = F.expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, "
                 "(acc, x) -> acc + x))")
     nc = F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, "
                 "(acc, x) -> acc + x))")
-    sim = F.round(dot / (nq * nc), 4)
     scored = (c.crossJoin(F.broadcast(q))
-               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                       sim.alias("cosine")))
+               .select("query_id", "neighbor_id",
+                       F.round(dot / (nq * nc), 4).alias("cosine")))
     w = (Window.partitionBy("query_id")
                .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-                  .where(F.col("rank") <= 5))
+                  .where(F.col("rank") <= k))
+
+
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-5: query vectors (vec_id<10) vs the corpus
+    (the _brute_topk kernel — broadcast query side, corpus never
+    shuffles)."""
+    e = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = e.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "v")
+    return _brute_topk(q, c, 5)
 
 
 SQL_ANN_COSINE_TOPK = """
@@ -2851,20 +2858,7 @@ def ann_recall_report(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     c = base.where(F.col("vec_id") >= 20).select(
         F.col("vec_id").alias("neighbor_id"), "v")
-    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, "
-                 "(acc, x) -> acc + x)")
-    nq = F.expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, "
-                "(acc, x) -> acc + x))")
-    nc = F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, "
-                "(acc, x) -> acc + x))")
-    scored = (c.crossJoin(F.broadcast(q))
-               .select("query_id", "neighbor_id",
-                       F.round(dot / (nq * nc), 4).alias("cosine")))
-    w = (Window.partitionBy("query_id")
-               .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
-    exact = (scored.withColumn("r", F.row_number().over(w))
-                   .where(F.col("r") <= 3)
-                   .select("query_id", "neighbor_id"))
+    exact = _brute_topk(q, c, 3).select("query_id", "neighbor_id")
     ivf = ann_ivf_topk(spark, sf).select("query_id", "neighbor_id")
     eq = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     iq = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf"))

@@ -266,7 +266,8 @@ def run_incremental_dedup_stream(spark: SparkSession, batch_dir: str,
 
     def write_epoch(df: DataFrame, epoch_id: int) -> None:
         _, _, probe = _probe_corpus_flags(df, c_gks, c_bands, F.broadcast)
-        (probe.withColumn("epoch", F.lit(epoch_id))
+        (probe.select("doc_id", "exact_dup_corpus", "near_dup_corpus")
+              .withColumn("epoch", F.lit(epoch_id))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("epoch")
@@ -280,7 +281,14 @@ def run_incremental_dedup_stream(spark: SparkSession, batch_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    out = spark.read.parquet(out_dir)
     c_gks.unpersist()
     c_bands.unpersist()
-    return out
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:
+        # an EMPTY batch dir fires zero epochs, so nothing was ever
+        # written and the read cannot infer a schema — return the empty
+        # result the batch operator produces on the same input
+        return spark.createDataFrame(
+            [], "doc_id long, exact_dup_corpus boolean, "
+                "near_dup_corpus boolean, epoch int")

@@ -193,7 +193,8 @@ def test_streaming_incremental_dedup_epochs_and_batch_parity(spark, tmp_path):
     b_dir = str(tmp_path / "batch")
     (docs.where(F.col("source") == batch_src).select("doc_id", "text")
          .repartition(4).write.parquet(b_dir))
-    corpus = (docs.where(F.col("source") != batch_src)
+    corpus = (docs.where(F.col("source").isNull()
+                         | (F.col("source") != batch_src))
                   .select("doc_id", "text"))
 
     out = run_incremental_dedup_stream(
@@ -204,3 +205,25 @@ def test_streaming_incremental_dedup_epochs_and_batch_parity(spark, tmp_path):
     want = {r.doc_id: (r.exact_dup_corpus, r.near_dup_corpus)
             for r in dedup_incremental(spark, sf).collect()}
     assert got == want
+
+
+def test_streaming_incremental_dedup_empty_batch(spark, tmp_path):
+    """An all-NULL-source corpus has no batch: zero epochs fire, nothing
+    is written, and the streaming wrapper must return the same empty
+    result the batch operator does instead of failing schema inference
+    on the never-written output dir."""
+    import pandas as pd
+
+    from sparklog.queries import dedup_incremental, \
+        streaming_incremental_dedup
+
+    pdf = pd.DataFrame([(1, "a b c d", "en", None), (2, None, "en", None)],
+                       columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+    assert dedup_incremental(spark, d).count() == 0
+    out = streaming_incremental_dedup(spark, d)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "exact_dup_corpus", "near_dup_corpus"]
