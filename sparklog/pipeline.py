@@ -276,6 +276,72 @@ def run_curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return stats
 
 
+def run_incremental(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Nightly incremental-dedup job: one broadcast-probe pass
+    (queries.dedup_incremental — the new batch vs the existing corpus,
+    never corpus x corpus) writes
+
+      flags/      — per batch doc: exact/near-in-corpus, dup-in-batch,
+                    keep (the dedup ledger)
+      additions/  — the kept batch docs with their text: what actually
+                    gets appended to the corpus
+
+    plus flag counts in the manifest.  Same manifest/stage pattern as
+    run_dedup/run_curate: the probe materializes once into ``flags`` and
+    the additions join is batch-sized."""
+    from .queries import _t, dedup_incremental
+
+    manifest = Manifest(out_dir)
+    stats: dict = {"resumed_stages": []}
+    t0 = time.time()
+
+    def stage(name: str, fn):
+        if manifest.is_done(name):
+            stats["resumed_stages"].append(name)
+            return
+        info = fn() or {}
+        manifest.commit_stage(name, info)
+
+    def _flags():
+        (dedup_incremental(spark, sf_dir)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "flags")))
+        return {}
+
+    def _additions():
+        kept = (spark.read.parquet(os.path.join(out_dir, "flags"))
+                .where("keep").select("doc_id"))
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+        (docs.join(F.broadcast(kept), "doc_id")
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, "additions")))
+        return {}
+
+    def _metrics():
+        fl = spark.read.parquet(os.path.join(out_dir, "flags"))
+        rows = (fl.groupBy("exact_dup_corpus", "near_dup_corpus",
+                           "dup_in_batch", "keep").count().collect())
+        combos = {"|".join(str(r[c]) for c in
+                           ("exact_dup_corpus", "near_dup_corpus",
+                            "dup_in_batch", "keep")): r["count"]
+                  for r in rows}
+        return {"flag_combos": combos}
+
+    stage("flags", _flags)
+    stage("additions", _additions)
+    stage("incremental_metrics", _metrics)
+
+    stats["flag_combos"] = (manifest.load()["stages"]
+                            .get("incremental_metrics", {})
+                            .get("flag_combos", {}))
+    stats["n_batch"] = sum(stats["flag_combos"].values())
+    stats["n_added"] = spark.read.parquet(
+        os.path.join(out_dir, "additions")).count()
+    stats["wall_sec"] = time.time() - t0
+    return stats
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default=None, help="tokens parquet path")
@@ -306,6 +372,10 @@ def main(argv=None):
                     help="run the curation job (verdict ledger + scrubbed "
                          "kept corpus + reason counts) over this sf dir "
                          "instead of the parse pipeline")
+    ap.add_argument("--incremental-sf", default=None,
+                    help="run the incremental-dedup job (batch-vs-corpus "
+                         "flags + kept additions + flag counts) over this "
+                         "sf dir instead of the parse pipeline")
     args = ap.parse_args(argv)
 
     cfg = ParseConfig(
@@ -325,6 +395,10 @@ def main(argv=None):
     if args.curate_sf:
         print(json.dumps(run_curate(spark, args.curate_sf, args.out),
                          default=str))
+        return
+    if args.incremental_sf:
+        print(json.dumps(run_incremental(spark, args.incremental_sf,
+                                         args.out), default=str))
         return
 
     src = args.src

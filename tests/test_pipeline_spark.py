@@ -259,3 +259,29 @@ def test_run_curate_writes_ledger_corpus_and_reasons(spark, tmp_path):
     assert set(again["resumed_stages"]) == {"curated", "corpus",
                                             "curate_metrics"}
     assert again["reasons"] == stats["reasons"]
+
+
+def test_run_incremental_writes_flags_additions_and_metrics(spark,
+                                                            tmp_path):
+    """The incremental-dedup job writes the per-batch-doc flag ledger +
+    the kept additions (with text and source, via a broadcast doc_id
+    join) + flag-combo counts, and resumes stages idempotently."""
+    import os
+
+    from sparklog.pipeline import run_incremental
+    from sparklog.queries import dedup_incremental
+
+    out = str(tmp_path / "incr_out")
+    stats = run_incremental(spark, "/root/testdata/sf0.001", out)
+    want = dedup_incremental(spark, "/root/testdata/sf0.001")
+    n_batch = want.count()
+    n_keep = want.where("keep").count()
+    assert stats["n_batch"] == n_batch
+    assert stats["n_added"] == n_keep
+    adds = spark.read.parquet(os.path.join(out, "additions"))
+    assert set(adds.columns) == {"doc_id", "text", "source"}
+    assert adds.count() == n_keep
+    again = run_incremental(spark, "/root/testdata/sf0.001", out)
+    assert set(again["resumed_stages"]) == {"flags", "additions",
+                                            "incremental_metrics"}
+    assert again["flag_combos"] == stats["flag_combos"]
