@@ -273,16 +273,20 @@ def run_incremental_dedup_stream(spark: SparkSession, batch_dir: str,
               .partitionBy("epoch")
               .parquet(out_dir))
 
-    q = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
-         .option("maxFilesPerTrigger", max_files)
-         .parquet(batch_dir)
-         .writeStream.foreachBatch(write_epoch)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    c_gks.unpersist()
-    c_bands.unpersist()
+    try:
+        q = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
+             .option("maxFilesPerTrigger", max_files)
+             .parquet(batch_dir)
+             .writeStream.foreachBatch(write_epoch)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        # a failed epoch must not leak the persisted corpus tables into
+        # the caller's session
+        c_gks.unpersist()
+        c_bands.unpersist()
     try:
         return spark.read.parquet(out_dir)
     except Exception:
