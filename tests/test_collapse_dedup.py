@@ -379,3 +379,23 @@ def test_dedup_incremental_differential_random(spark, tmp_path):
     cols = list(zip(*expect.values()))
     assert all(any(c) and not all(c) for c in cols), cols
     assert any(t is None for _i, t in b)
+
+
+def test_dedup_incremental_gate_off_same_flags(spark, monkeypatch):
+    """The batch-side broadcast gate is a pure strategy choice: forcing
+    it shut (max bytes = 0, so the hints are dropped and AQE picks the
+    join strategy) must produce byte-identical flags.  This exercises
+    the over-gate branch that real data never reaches at test scale."""
+    import sparklog.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    def snap():
+        return {r.doc_id: (r.exact_dup_corpus, r.near_dup_corpus,
+                           r.dup_in_batch, r.keep)
+                for r in Q.dedup_incremental(spark, sf).collect()}
+
+    base = snap()
+    monkeypatch.setattr(Q, "_OVERCAP_BCAST_MAX_BYTES", 0)
+    assert snap() == base
+    assert any(v[3] for v in base.values())   # the corpus isn't degenerate
