@@ -192,6 +192,22 @@ def main() -> None:
 
     print(json.dumps(out))
 
+    # The full line above is ~4 kB and overflows the driver's 2000-char
+    # tail capture (every committed BENCH_rNN.json had "parsed": null),
+    # so the LAST stdout line is a compact summary kept under ~1500
+    # chars: suite total, max spread, per-query times rounded to 0.01.
+    compact = {"metric": out.get("metric"), "value": out.get("value"),
+               "unit": "sec", "sf": out.get("sf"),
+               "max_spread": out.get("max_spread"),
+               "pipeline_rows_per_sec": out.get("pipeline_rows_per_sec"),
+               "queries": {q: round(t, 2)
+                           for q, t in out.get("queries", {}).items()}}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # defensive: per-query detail goes first
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
+
 
 if __name__ == "__main__":
     main()
