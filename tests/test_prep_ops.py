@@ -832,3 +832,76 @@ def test_ann_recall_report_invariants(spark):
         assert 0 <= r.n_hits <= min(r.n_exact, r.n_ivf)
         assert abs(r.recall - round(r.n_hits / r.n_exact, 4)) < 1e-9
         assert 0.0 <= r.recall <= 1.0
+
+
+def test_blocklist_injection_production_path(spark, tmp_path):
+    """The documented production path exists (round-6 advisor): passing a
+    real blocklist DataFrame to url_domain_topk / curate_documents /
+    curate_corpus overrides the fixture dim — a domain the md5-prefix
+    fixture rule would NEVER block (outside the planted candidate set)
+    is blocked when the injected dim names it, and the planted candidate
+    the fixture rule blocks is NOT blocked once the dim omits it."""
+    import pandas as pd
+
+    from sparklog.queries import (curate_corpus, curate_documents,
+                                  url_domain_topk)
+
+    text = ("the quick brown fox jumps over the lazy dog and runs to "
+            "http://evil.example/page for fun")
+    pdf = pd.DataFrame(
+        [(1, text, "en", "web"), (2, text.replace("evil", "fine"),
+                                  "en", "web")],
+        columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    bl = spark.createDataFrame([("evil.example",)], "bl_domain string")
+    got = {r.domain: r.blocked
+           for r in url_domain_topk(spark, d, blocklist=bl).collect()}
+    assert got["evil.example"] is True
+    assert got["fine.example"] is False
+    assert got["web.example.com"] is False  # planted candidate, dim omits
+
+    cur = {r.doc_id: r for r in
+           curate_documents(spark, d, blocklist=bl).collect()}
+    assert cur[1].reason == "blocked_domain" and not cur[1].keep
+    assert cur[2].reason == "kept" and cur[2].keep
+    crp = {r.doc_id: r for r in
+           curate_corpus(spark, d, blocklist=bl).collect()}
+    assert crp[1].reason == "blocked_domain"
+    assert crp[2].scrubbed_text == pdf.loc[1, "text"]
+
+
+def test_publish_cached_atomic_and_idempotent(spark, tmp_path):
+    """_publish_cached (round-6 advisor): a second call is a no-op (the
+    published files are untouched), and a PARTIAL directory squatting on
+    the cache path (no _SUCCESS — the pre-atomic scheme's failure mode)
+    is replaced by a complete publish; no stage dirs are left behind."""
+    import os
+
+    from sparklog.queries import _publish_cached
+
+    df = spark.range(10).toDF("doc_id")
+    cache = str(tmp_path / "cache.parquet")
+    _publish_cached(df, cache, n_partitions=2)
+    assert os.path.exists(os.path.join(cache, "_SUCCESS"))
+    sig = sorted((f, os.stat(os.path.join(cache, f)).st_mtime_ns)
+                 for f in os.listdir(cache))
+    _publish_cached(df, cache, n_partitions=2)
+    sig2 = sorted((f, os.stat(os.path.join(cache, f)).st_mtime_ns)
+                  for f in os.listdir(cache))
+    assert sig == sig2
+    assert spark.read.parquet(cache).count() == 10
+
+    partial = str(tmp_path / "partial.parquet")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "junk"), "w") as f:
+        f.write("x")
+    _publish_cached(df, partial, n_partitions=2)
+    assert os.path.exists(os.path.join(partial, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(partial, "junk"))
+    assert spark.read.parquet(partial).count() == 10
+    stages = [f for f in os.listdir(tmp_path) if ".stage-" in f]
+    assert stages == []
