@@ -65,5 +65,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from sparklog.queries import REGISTRY
 
-    return {name: sql for name, (_fn, sql) in REGISTRY.items()
+    # Corpus-dependent oracles (the BPE token ops) are BUILDERS
+    # (sf_dir -> sql) because their merge-table dim is learned from the
+    # corpus; the driver's correctness gate always runs at sf0.01, so
+    # builders resolve against that dir (overridable for local parity
+    # checks via SPARK_GRAFT_ORACLE_SF — tools/check_parity.py passes
+    # its own sf_dir instead).
+    gate_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF",
+                             "/root/testdata/sf0.01")
+    return {name: (sql(gate_sf) if callable(sql) else sql)
+            for name, (_fn, sql) in REGISTRY.items()
             if sql is not None}

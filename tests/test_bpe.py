@@ -1,0 +1,104 @@
+"""sparklog.bpe — the subword tokenizer under the token-keyed ops.
+
+The cross-ENGINE guarantees (Spark result == DuckDB oracle) live in the
+op-level parity tests; here we pin the cross-IMPLEMENTATION guarantees
+the oracle construction relies on: the Python per-rule fold equals the
+DuckDB recursive list_reduce fold for arbitrary words and merge tables,
+tokenization preserves the normalized character stream, and learning is
+deterministic.
+"""
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparklog.bpe import (apply_merges, extract_words, learn_bpe,
+                          merge_pair_once, tokenize_text)
+
+_word = st.text(alphabet="abcdz", min_size=1, max_size=12)
+
+
+def _duck_apply(words, merges):
+    """Tokenize ``words`` through the SAME recursive list_reduce fold the
+    oracle SQL uses (queries._sql_bpe_apply_ctes shape)."""
+    L = len(merges)
+    vals = (", ".join(f"({i + 1}, '{a}', '{b}')"
+                      for i, (a, b) in enumerate(merges)) or "(1, '', '')")
+    wl = ", ".join(f"('{w}')" for w in words)
+    sql = f"""
+WITH RECURSIVE bpe_merges(mi, a, b) AS (VALUES {vals}),
+bpe_wl(w) AS (VALUES {wl}),
+bpe_rec AS (
+  SELECT w, list_filter(string_split(w, ''), c -> c <> '') AS toks,
+         0 AS mi
+  FROM bpe_wl
+  UNION ALL
+  SELECT r.w,
+         string_split(list_reduce(r.toks, (acc, x) ->
+           CASE WHEN x = m.b AND regexp_extract(acc,
+                  '([^' || chr(31) || ']*)$', 1) = m.a
+                THEN substring(acc, 1, length(acc) - length(m.a))
+                     || m.a || m.b
+                ELSE acc || chr(31) || x END), chr(31)),
+         r.mi + 1
+  FROM bpe_rec r JOIN bpe_merges m ON m.mi = r.mi + 1
+  WHERE r.mi < {L}
+)
+SELECT w, toks FROM bpe_rec WHERE mi = {L}
+"""
+    return dict(duckdb.connect().execute(sql).fetchall())
+
+
+def test_merge_pair_once_left_to_right_nonoverlapping():
+    assert merge_pair_once(tuple("aaaa"), "a", "a") == ("aa", "aa")
+    assert merge_pair_once(tuple("aaa"), "a", "a") == ("aa", "a")
+    assert merge_pair_once(("ab", "b", "b"), "ab", "b") == ("abb", "b")
+    assert merge_pair_once(("x", "a", "b", "a", "b"), "a", "b") == \
+        ("x", "ab", "ab")
+
+
+def test_learner_is_deterministic_and_order_insensitive():
+    wf = [("table", 10), ("tablet", 5), ("battle", 7), ("le", 2)]
+    m1 = learn_bpe(wf, 16)
+    m2 = learn_bpe(list(reversed(wf)), 16)
+    assert m1 == m2 and m1
+    # a count-1 pair never merges: a unique word's word-specific pairs
+    # stay unmerged once shared pairs are exhausted
+    assert all(a and b for a, b in m1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=30),
+       st.lists(_word, min_size=0, max_size=12))
+def test_python_fold_equals_duckdb_fold(corpus, probes):
+    """For a merge table learned from random words, the Python
+    application and the oracle's recursive list_reduce fold agree on
+    every corpus word AND every probe (including OOV) word."""
+    from collections import Counter
+
+    wf = Counter(corpus)
+    merges = learn_bpe(
+        sorted(wf.items(), key=lambda kv: (-kv[1], kv[0])), 24)
+    words = sorted(set(corpus) | set(probes))
+    got = _duck_apply(words, merges)
+    for w in words:
+        assert apply_merges(w, merges) == got[w], (w, merges)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenization_preserves_normalized_stream(text):
+    """concat(tokens) == concat(normalized words) for ANY input — merges
+    reorder boundaries, never characters."""
+    merges = learn_bpe([("abcd", 5), ("abce", 3), ("zd", 2)], 8)
+    assert "".join(tokenize_text(text, merges, {})) == \
+        "".join(extract_words(text))
+
+
+def test_extract_words_ascii_only_lowering():
+    assert extract_words("The QUICK-brown fox2dog") == \
+        ["the", "quick", "brown", "fox", "dog"]
+    assert extract_words("") == []
+    assert extract_words(None or "") == []
+    # non-ASCII letters are word BOUNDARIES, never lowered into [a-z]
+    assert extract_words("naïve Ärger") == ["na", "ve", "rger"]

@@ -94,6 +94,8 @@ def main():
         if sql is None:
             print(f"SKIP  {name}: no oracle (rows={len(sdf)})")
             continue
+        if callable(sql):      # corpus-dependent builder (sf_dir -> sql)
+            sql = sql(sf_dir)
         try:
             odf = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
