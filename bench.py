@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_connected_components",
+    "dedup_substring",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "asof_join_event_rates",

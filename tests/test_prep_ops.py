@@ -955,3 +955,62 @@ def test_publish_cached_atomic_and_idempotent(spark, tmp_path):
     assert spark.read.parquet(partial).count() == 10
     stages = [f for f in os.listdir(tmp_path) if ".stage-" in f]
     assert stages == []
+
+
+def test_dedup_substring_planted_runs(spark, tmp_path):
+    """Hand-computed maximal shared runs: a 60-word verbatim lift at
+    known offsets; TWO runs between one doc pair on the SAME diagonal
+    (the gaps-and-islands split must not bridge the gap); a 1-word edit
+    splitting a 50-word run into 25+24; exact-duplicate texts collapse
+    to their min-id representative (no self-pairs); and a 20-word
+    boilerplate block shared by 70 docs (> _SUBSTR_CAP=64) produces NO
+    pairs (bucket dropped).  Cross-checked against the DuckDB oracle
+    row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import (SQL_DEDUP_SUBSTRING, _SUBSTR_CAP,
+                                  dedup_substring)
+
+    A = [f"w{i}" for i in range(100)]
+    docs = {
+        1: A,
+        2: [f"p{i}" for i in range(30)] + A[10:70]
+           + [f"q{i}" for i in range(10)],
+        3: A[20:45] + [f"r{i}" for i in range(15)] + A[60:85],
+        4: A[0:25] + ["x25"] + A[26:50],
+        5: None,  # filled below: exact copy of doc 2
+    }
+    docs[5] = docs[2]
+    B = [f"b{j}" for j in range(20)]
+    for i in range(70):
+        docs[100 + i] = ([f"u{i}x{j}" for j in range(5)] + B
+                         + [f"v{i}x{j}" for j in range(5)])
+    assert 70 > _SUBSTR_CAP
+    rows = [(i, " ".join(ws), "en", "web") for i, ws in docs.items()]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    got = {(r.doc_a, r.doc_b, r.offset_a, r.offset_b, r.match_len)
+           for r in dedup_substring(spark, d).collect()}
+    expect = {
+        (1, 2, 10, 30, 60),   # the verbatim lift
+        (1, 3, 20, 0, 25),    # same diagonal as the next run...
+        (1, 3, 60, 40, 25),   # ...split by the 15-word gap
+        (1, 4, 0, 0, 25),     # 1-word edit splits 50 into 25 + 24
+        (1, 4, 26, 26, 24),
+        (2, 3, 40, 0, 25),    # transitive lift overlap
+        (2, 4, 46, 26, 24),
+    }
+    assert got == expect     # and nothing from the 70 boilerplate docs
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_DEDUP_SUBSTRING).df()
+    assert {(int(r.doc_a), int(r.doc_b), int(r.offset_a),
+             int(r.offset_b), int(r.match_len))
+            for _, r in odf.iterrows()} == expect

@@ -325,3 +325,18 @@ def test_dedup_incremental_plan_probes_corpus_with_broadcast(spark):
     p = _plan(dedup_incremental(spark, SF))
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_dedup_substring_plan_shape(spark):
+    """The substring-dedup candidate join must be a pure equi-join on
+    the window hash (never a cartesian/nested-loop with the rep-order
+    predicate as the join condition), and the islands window must
+    partition by the (doc_a, doc_b, diag) pair key — bounded by a
+    document's own window count — never by a raw corpus-wide key."""
+    from sparklog.queries import dedup_substring
+
+    p = _plan(dedup_substring(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "NestedLoopJoin" not in p, p
+    spec = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert spec and all("diag" in ln for ln in spec), spec
