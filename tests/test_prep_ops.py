@@ -1014,3 +1014,90 @@ def test_dedup_substring_planted_runs(spark, tmp_path):
     assert {(int(r.doc_a), int(r.doc_b), int(r.offset_a),
              int(r.offset_b), int(r.match_len))
             for _, r in odf.iterrows()} == expect
+
+
+def test_parse_media_header_real_bytes(spark, tmp_path):
+    """The media header decoder against REAL bytes: a fully valid PNG
+    (proper chunk CRCs via zlib, real zlib-compressed IDAT), a baseline
+    JPEG whose SOF0 sits behind MULTIPLE variable-length segments (APP0,
+    APP1/Exif, a comment — the marker walk must skip by declared
+    lengths, not fixed offsets), standalone markers before SOF,
+    truncated files, and garbage — all without media libraries.  Then
+    the op end-to-end on a planted corpus vs its oracle arithmetic."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    from sparklog.queries import (SQL_MULTIMODAL_MEDIA_FEATURES,
+                                  multimodal_media_features,
+                                  parse_media_header)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    # a COMPLETE valid 3x2 grayscale PNG
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    raw = b"\x00\x01\x02\x03\x00\x04\x05\x06"   # 2 rows, filter byte + 3px
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert parse_media_header(png) == ("png", 3, 2)
+
+    # baseline JPEG: SOI + APP0 + APP1(Exif-ish, odd length) + COM +
+    # a standalone TEM marker + SOF0(h=480, w=640)
+    def seg(marker, content):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(content) + 2) \
+            + content
+    jpg = (b"\xff\xd8"
+           + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+           + seg(0xE1, b"Exif\x00\x00" + b"\x13" * 37)
+           + seg(0xFE, b"a comment")
+           + b"\xff\x01"                       # standalone TEM marker
+           + seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640)
+                 + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"))
+    assert parse_media_header(jpg) == ("jpeg", 640, 480)
+    # progressive (SOF2) decodes too
+    jpg2 = (b"\xff\xd8" + seg(0xC2, b"\x08" + struct.pack(">HH", 7, 9)
+                              + b"\x01\x01\x11\x00"))
+    assert parse_media_header(jpg2) == ("jpeg", 9, 7)
+
+    # degradation, never exceptions
+    assert parse_media_header(b"") == ("unknown", None, None)
+    assert parse_media_header(b"plain text here") == \
+        ("unknown", None, None)
+    assert parse_media_header(png[:20]) == ("unknown", None, None)
+    assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x05") == \
+        ("jpeg", None, None)                    # truncated after APP0 len
+    assert parse_media_header(b"\xff\xd8" + b"junk") == \
+        ("jpeg", None, None)
+
+    # op end-to-end vs the oracle's independent arithmetic
+    rows = [(i, f"body text {i}", "en", "web") for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+    got = {r.doc_id: (r.format, r.width, r.height, r.n_bytes)
+           for r in multimodal_media_features(spark, d).collect()}
+    for i, t, _l, _s in rows:
+        if i % 7 == 0:
+            assert got[i] == ("unknown", None, None, len(t))
+        elif i % 2 == 0:
+            assert got[i] == ("png", i % 640 + 1, i % 480 + 1,
+                              33 + len(t))
+        else:
+            assert got[i] == ("jpeg", i % 640 + 1, i % 480 + 1,
+                              39 + len(t))
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_MULTIMODAL_MEDIA_FEATURES).df()
+    for _, r in odf.iterrows():
+        w = None if pd.isna(r.width) else int(r.width)
+        h = None if pd.isna(r.height) else int(r.height)
+        assert got[int(r.doc_id)] == (r.format, w, h, int(r.n_bytes))
