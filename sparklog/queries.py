@@ -1729,6 +1729,27 @@ _SUBSTR_CAP = 64    # max occurrences of a window before its bucket is
                     # millions of pages would otherwise pair n^2)
 
 
+def _substring_windows(spark, sf) -> DataFrame:
+    """(rep, pos, h) sliding word windows over UNIQUE texts — the keyed
+    table dedup_substring buckets on, shared with dedup_path_metrics so
+    the loss meter describes exactly what the op pairs."""
+    docs = (_t(spark, sf, "documents")
+            .where(F.col("text").isNotNull())
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    grp = (docs.groupBy(F.md5("text").alias("gk"))
+               .agg(F.min("doc_id").alias("rep"),
+                    F.min("text").alias("t")))
+    win_expr = (
+        f"case when size(split(t, ' ')) >= {_SUBSTR_W} then "
+        f"transform(sequence(0, size(split(t, ' ')) - {_SUBSTR_W}), "
+        f"i -> struct(i as pos, md5(array_join(slice(split(t, ' '), "
+        f"i + 1, {_SUBSTR_W}), chr(31))) as h)) else array() end")
+    return (grp.select("rep",
+                       F.explode(F.expr(win_expr)).alias("x"))
+               .select("rep", F.col("x.pos").alias("pos"),
+                       F.col("x.h").alias("h")))
+
+
 def dedup_substring(spark, sf):
     """Substring-level exact dedup (round-6 judge item #4 — the standard
     missing tool next to doc-level dedup): find VERBATIM runs of >=
@@ -1767,21 +1788,7 @@ def dedup_substring(spark, sf):
     trade.  Joining on the 128-bit hash instead of the raw window
     string is the embedding-dedup 2x64-bit pattern (collision odds
     ~2^-64 at any realistic corpus)."""
-    docs = (_t(spark, sf, "documents")
-            .where(F.col("text").isNotNull())
-            .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
-    grp = (docs.groupBy(F.md5("text").alias("gk"))
-               .agg(F.min("doc_id").alias("rep"),
-                    F.min("text").alias("t")))
-    win_expr = (
-        f"case when size(split(t, ' ')) >= {_SUBSTR_W} then "
-        f"transform(sequence(0, size(split(t, ' ')) - {_SUBSTR_W}), "
-        f"i -> struct(i as pos, md5(array_join(slice(split(t, ' '), "
-        f"i + 1, {_SUBSTR_W}), chr(31))) as h)) else array() end")
-    wins = (grp.select("rep",
-                       F.explode(F.expr(win_expr)).alias("x"))
-               .select("rep", F.col("x.pos").alias("pos"),
-                       F.col("x.h").alias("h")))
+    wins = _substring_windows(spark, sf)
     over = (wins.groupBy("h").agg(F.count("*").alias("n"))
                 .where(F.col("n") > _SUBSTR_CAP).select("h"))
     kept = wins.join(over, "h", "left_anti")
@@ -1914,7 +1921,28 @@ def dedup_path_metrics(spark, sf, cc_stats: dict | None = None
             F.lit(cc_stats["cc_converged"]).alias("cc_converged"),
             F.lit(cc_stats["n_components"]).cast("long")
              .alias("n_components"))
-    return out.unionByName(cc_row)
+    # substring-window loss meter (round 7): dedup_substring DROPS
+    # over-cap window buckets (no refine/salt cascade — boilerplate
+    # windows pair n^2 and carry no dedup signal), so its row reports
+    # the drop loss directly on the SAME keyed table the op buckets:
+    # n_dropped_rows = window occurrences inside dropped buckets
+    sub_row = (_substring_windows(spark, sf)
+               .groupBy("h").agg(F.count("*").alias("n"))
+               .agg(F.sum("n").alias("n_rows"),
+                    F.count("*").alias("n_buckets"),
+                    F.sum((F.col("n") > _SUBSTR_CAP).cast("long"))
+                     .alias("n_over_cap_buckets"),
+                    F.sum(F.when(F.col("n") > _SUBSTR_CAP, F.col("n"))
+                           .otherwise(F.lit(0))).cast("long")
+                     .alias("n_dropped_rows"))
+               .select(F.lit("substring_windows").alias("path"),
+                       "n_rows", "n_buckets", "n_over_cap_buckets",
+                       nulls.alias("n_refined_rows"),
+                       nulls.alias("n_salted_rows"), "n_dropped_rows",
+                       nulls.alias("cc_iterations"),
+                       nullb.alias("cc_converged"),
+                       nulls.alias("n_components")))
+    return out.unionByName(sub_row).unionByName(cc_row)
 
 
 def _brute_topk(q: DataFrame, c: DataFrame, k: int) -> DataFrame:

@@ -441,6 +441,13 @@ def test_path_metrics_reports_cc_convergence(spark):
     assert mb.cc_iterations is None and mb.n_components is None
     assert mb.cc_converged is None
     assert mb.n_rows > 0
+    # the substring-window loss meter (round 7): a drop-policy row —
+    # refine/salt are structurally NULL, drop accounting is present
+    sw = rows["substring_windows"]
+    assert sw.n_rows > 0 and sw.n_buckets > 0
+    assert sw.n_refined_rows is None and sw.n_salted_rows is None
+    assert sw.n_dropped_rows is not None and sw.n_dropped_rows >= 0
+    assert sw.cc_iterations is None
     # the reported component count matches the closer's actual output
     n_comp = (dedup_connected_components(spark, sf)
               .select("component_rep").distinct().count())
