@@ -19,33 +19,16 @@ _word = st.text(alphabet="abcdz", min_size=1, max_size=12)
 
 
 def _duck_apply(words, merges):
-    """Tokenize ``words`` through the SAME recursive list_reduce fold the
-    oracle SQL uses (queries._sql_bpe_apply_ctes shape)."""
-    L = len(merges)
-    vals = (", ".join(f"({i + 1}, '{a}', '{b}')"
-                      for i, (a, b) in enumerate(merges)) or "(1, '', '')")
+    """Tokenize ``words`` through the PRODUCTION oracle fold — the exact
+    CTE block queries._sql_bpe_apply_ctes generates for the gate SQL —
+    so this differential pins the generator itself, not a re-statement
+    of it."""
+    from sparklog.queries import _sql_bpe_apply_ctes
+
     wl = ", ".join(f"('{w}')" for w in words)
-    sql = f"""
-WITH RECURSIVE bpe_merges(mi, a, b) AS (VALUES {vals}),
-bpe_wl(w) AS (VALUES {wl}),
-bpe_rec AS (
-  SELECT w, list_filter(string_split(w, ''), c -> c <> '') AS toks,
-         0 AS mi
-  FROM bpe_wl
-  UNION ALL
-  SELECT r.w,
-         string_split(list_reduce(r.toks, (acc, x) ->
-           CASE WHEN x = m.b AND regexp_extract(acc,
-                  '([^' || chr(31) || ']*)$', 1) = m.a
-                THEN substring(acc, 1, length(acc) - length(m.a))
-                     || m.a || m.b
-                ELSE acc || chr(31) || x END), chr(31)),
-         r.mi + 1
-  FROM bpe_rec r JOIN bpe_merges m ON m.mi = r.mi + 1
-  WHERE r.mi < {L}
-)
-SELECT w, toks FROM bpe_rec WHERE mi = {L}
-"""
+    sql = (f"WITH RECURSIVE bpe_wl(w) AS (VALUES {wl}),\n"
+           f"{_sql_bpe_apply_ctes(merges)}\n"
+           f"SELECT w, toks FROM bpe_rec WHERE mi = {len(merges)}")
     return dict(duckdb.connect().execute(sql).fetchall())
 
 
