@@ -1811,6 +1811,73 @@ def dedup_substring(spark, sf):
                         "match_len"))
 
 
+_SUBSTR_SAMPLE_HEX = ("0", "1")   # md5 first hex digit: a 2/16 sample
+
+
+def dedup_substring_sampled(spark, sf):
+    """The WINNOWING-sampled scale path for substring dedup — the
+    variant a 100 TB run starts with: candidate doc pairs come from the
+    1/8 of windows whose md5 first hex digit is 0-1 (a deterministic,
+    content-keyed sample — both engines select identically), then the
+    EXACT maximal-run machinery re-runs over the full windows of just
+    the candidate pairs.  Output rows are therefore EXACTLY
+    dedup_substring's rows restricted to discovered pairs (the same
+    full-table over-cap bucket policy applies in both phases, so the
+    subset property is exact — pinned by test).
+
+    Recall: a shared run of length L carries L - W + 1 windows, so the
+    pair is missed with probability ~(7/8)^(L-W+1) — 26% at the minimum
+    L = W, under 7% by L = W + 19, negligible for the multi-hundred-
+    word boilerplate blocks the tool hunts.  Cost: the pairing shuffle
+    (the expensive part — candidate join + islands) runs on 1/8 of the
+    window rows; the full window table is touched only by (a) one
+    map-side-combined bucket-size aggregate (the cap audit) and (b) the
+    phase-2 re-window, which a production deployment pushes down to the
+    candidate docs' files (the semi-join here prunes rows, not I/O —
+    at 100 TB the candidate id set drives partition pruning instead).
+    Tuning p trades recall floor against shuffle volume; the exact op
+    remains the audit tool at sample p = 1."""
+    wins = _substring_windows(spark, sf)
+    over = (wins.groupBy("h").agg(F.count("*").alias("n"))
+                .where(F.col("n") > _SUBSTR_CAP).select("h"))
+    kept = wins.join(over, "h", "left_anti")
+    samp = kept.where(
+        F.substring("h", 1, 1).isin(*_SUBSTR_SAMPLE_HEX))
+    cand = (samp.select(F.col("rep").alias("doc_a"),
+                        F.col("pos").alias("pa"), "h")
+                .join(samp.select(F.col("rep").alias("doc_b"),
+                                  F.col("pos").alias("pb"), "h"), "h")
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b").distinct())
+    # phase 2 prunes the window table to CANDIDATE DOCS before the pair
+    # join (an explicit semi-join, not a post-join filter Catalyst may
+    # or may not push) — the expensive h-join runs on candidate docs'
+    # windows only, then the exact candidate-PAIR restriction drops
+    # coincidental pairs among candidate docs
+    docs_in = (cand.select(F.col("doc_a").alias("rep"))
+                   .unionByName(cand.select(F.col("doc_b").alias("rep")))
+                   .distinct())
+    w2 = kept.join(docs_in, "rep", "left_semi")
+    a = w2.select(F.col("rep").alias("doc_a"),
+                  F.col("pos").alias("pa"), "h")
+    b = w2.select(F.col("rep").alias("doc_b"),
+                  F.col("pos").alias("pb"), "h")
+    m = (a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
+          .join(cand, ["doc_a", "doc_b"], "left_semi")
+          .select("doc_a", "doc_b", "pa", "pb",
+                  (F.col("pa") - F.col("pb")).alias("diag")))
+    wisl = (Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa"))
+    runs = m.withColumn("isl",
+                        F.col("pa") - F.row_number().over(wisl))
+    return (runs.groupBy("doc_a", "doc_b", "diag", "isl")
+                .agg(F.min("pa").cast("long").alias("offset_a"),
+                     F.min("pb").cast("long").alias("offset_b"),
+                     (F.count("*") + _SUBSTR_W - 1).cast("long")
+                      .alias("match_len"))
+                .select("doc_a", "doc_b", "offset_a", "offset_b",
+                        "match_len"))
+
+
 SQL_DEDUP_SUBSTRING = f"""
 WITH u AS (
   SELECT min(doc_id::BIGINT) AS rep, min(text) AS t
@@ -1829,6 +1896,45 @@ WITH u AS (
   SELECT a.rep AS doc_a, b.rep AS doc_b, a.pos AS pa, b.pos AS pb,
          a.pos - b.pos AS diag
   FROM kept a JOIN kept b ON a.h = b.h AND a.rep < b.rep
+), runs AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS isl
+  FROM m
+)
+SELECT doc_a, doc_b, min(pa)::BIGINT AS offset_a,
+       min(pb)::BIGINT AS offset_b,
+       (count(*) + {_SUBSTR_W - 1})::BIGINT AS match_len
+FROM runs GROUP BY doc_a, doc_b, diag, isl
+"""
+
+
+_SQL_SUBSTR_SAMPLE = " OR ".join(
+    f"substring(a.h, 1, 1) = '{x}'" for x in _SUBSTR_SAMPLE_HEX)
+
+SQL_DEDUP_SUBSTRING_SAMPLED = f"""
+WITH u AS (
+  SELECT min(doc_id::BIGINT) AS rep, min(text) AS t
+  FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+), w AS (
+  SELECT rep, i AS pos,
+         md5(array_to_string(list_slice(string_split(t, ' '),
+             i::INTEGER + 1, i::INTEGER + {_SUBSTR_W}), chr(31))) AS h
+  FROM u, unnest(range(0, greatest(len(string_split(t, ' '))
+                                   - {_SUBSTR_W} + 1, 0))) AS r(i)
+), kept AS (
+  SELECT w.* FROM w
+  JOIN (SELECT h FROM w GROUP BY h
+        HAVING count(*) <= {_SUBSTR_CAP}) ok USING (h)
+), cand AS (
+  SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+  FROM kept a JOIN kept b ON a.h = b.h AND a.rep < b.rep
+  WHERE {_SQL_SUBSTR_SAMPLE}
+), m AS (
+  SELECT a.rep AS doc_a, b.rep AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM kept a JOIN kept b ON a.h = b.h AND a.rep < b.rep
+  JOIN cand c ON c.doc_a = a.rep AND c.doc_b = b.rep
 ), runs AS (
   SELECT doc_a, doc_b, diag, pa, pb,
          pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
@@ -3552,8 +3658,6 @@ def _sql_bpe_apply_ctes(merges) -> str:
     can never equal a, so fold-merges never cascade within one rule).
     Produces ``bpe_dict(m)`` — a single-row word -> token-list MAP; a
     text tokenizes as flatten(list_transform(ws, w -> m[w][1]))."""
-    from .bpe import WORD_RX  # noqa: F401  (documentation cross-ref)
-
     L = len(merges)
     vals = (", ".join(f"({i + 1}, '{a}', '{b}')"
                       for i, (a, b) in enumerate(merges))
@@ -4466,9 +4570,10 @@ SQL_CURATE_CORPUS = _sql_curate(with_text=True)
 # that has never had a green CORRECTNESS row — and every new or
 # semantics-changed query — must sit inside the first 50.  Long-green
 # queries (multiple green rounds, unchanged code) rotate to the tail to
-# make room.  Tail as of round 7: syslog_token_roundtrip,
-# sort_limit_top_lineitems, string_funcs_showcase,
-# datetime_funcs_showcase (all green since round <= 4, untouched).
+# make room.  Tail as of round 7: setop_premium_only_customers,
+# syslog_token_roundtrip, sort_limit_top_lineitems,
+# string_funcs_showcase, datetime_funcs_showcase (all green since
+# round <= 4, untouched).
 REGISTRY: dict[str, tuple] = {
     "syslog_parse_rfc3164": (syslog_parse_rfc3164, SQL_SYSLOG_PARSE_RFC3164),
     "syslog_parse_rfc5424": (syslog_parse_rfc5424, SQL_SYSLOG_PARSE_RFC5424),
@@ -4488,8 +4593,6 @@ REGISTRY: dict[str, tuple] = {
     "join_broadcast_segment_revenue": (join_broadcast_segment_revenue,
                                        SQL_JOIN_BROADCAST_SEGMENT_REVENUE),
     "window_topk_orders": (window_topk_orders, SQL_WINDOW_TOPK_ORDERS),
-    "setop_premium_only_customers": (setop_premium_only_customers,
-                                     SQL_SETOP_PREMIUM_ONLY_CUSTOMERS),
     "dedup_exact_documents": (dedup_exact_documents,
                               SQL_DEDUP_EXACT_DOCUMENTS),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -4500,6 +4603,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_connected_components": (dedup_connected_components,
                                    SQL_DEDUP_CONNECTED_COMPONENTS),
     "dedup_substring": (dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_sampled": (dedup_substring_sampled,
+                                SQL_DEDUP_SUBSTRING_SAMPLED),
     "ann_cosine_topk": (ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "text_quality_scores": (text_quality_scores, SQL_TEXT_QUALITY_SCORES),
     "text_langid_heuristic": (text_langid_heuristic,
@@ -4543,6 +4648,8 @@ REGISTRY: dict[str, tuple] = {
     "curate_documents": (curate_documents, SQL_CURATE_DOCUMENTS),
     "curate_corpus": (curate_corpus, SQL_CURATE_CORPUS),
     # --- tail: long-green queries past the driver's 50-entry window ---
+    "setop_premium_only_customers": (setop_premium_only_customers,
+                                     SQL_SETOP_PREMIUM_ONLY_CUSTOMERS),
     "syslog_token_roundtrip": (syslog_token_roundtrip,
                                SQL_SYSLOG_TOKEN_ROUNDTRIP),
     "sort_limit_top_lineitems": (sort_limit_top_lineitems,

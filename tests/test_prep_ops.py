@@ -1101,3 +1101,56 @@ def test_parse_media_header_real_bytes(spark, tmp_path):
         w = None if pd.isna(r.width) else int(r.width)
         h = None if pd.isna(r.height) else int(r.height)
         assert got[int(r.doc_id)] == (r.format, w, h, int(r.n_bytes))
+
+
+def test_dedup_substring_sampled_is_exact_subset(spark, tmp_path):
+    """The winnowing-sampled variant's contract: its rows are EXACTLY
+    dedup_substring's rows restricted to candidate pairs discovered by
+    the 1/8 window sample — never a run the exact op wouldn't report,
+    and for every discovered pair ALL of that pair's exact runs.  On
+    the planted corpus every multi-window lift is discovered (md5 is
+    fixed, so the sample is deterministic); the DuckDB oracle agrees
+    row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import (SQL_DEDUP_SUBSTRING_SAMPLED,
+                                  _SUBSTR_SAMPLE_HEX, dedup_substring,
+                                  dedup_substring_sampled)
+
+    A = [f"w{i}" for i in range(100)]
+    docs = {
+        1: A,
+        2: [f"p{i}" for i in range(30)] + A[10:70]
+           + [f"q{i}" for i in range(10)],
+        3: A[20:45] + [f"r{i}" for i in range(15)] + A[60:85],
+        4: A[0:25] + ["x25"] + A[26:50],
+    }
+    rows = [(i, " ".join(ws), "en", "web") for i, ws in docs.items()]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    exact = {(r.doc_a, r.doc_b, r.offset_a, r.offset_b, r.match_len)
+             for r in dedup_substring(spark, d).collect()}
+    got = {(r.doc_a, r.doc_b, r.offset_a, r.offset_b, r.match_len)
+           for r in dedup_substring_sampled(spark, d).collect()}
+    assert got <= exact
+    pairs_got = {(a, b) for a, b, *_ in got}
+    # per-pair completeness: a discovered pair carries ALL its runs
+    assert got == {r for r in exact if (r[0], r[1]) in pairs_got}
+    # the 60-word lift has 41 windows — P(all outside a fixed 1/8 of
+    # md5 space) is (7/8)^41 on random data; with this corpus's actual
+    # hashes it IS discovered, and the sample constant pins the rest
+    assert ("0", "1") == _SUBSTR_SAMPLE_HEX
+    assert (1, 2) in pairs_got
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_DEDUP_SUBSTRING_SAMPLED).df()
+    assert {(int(r.doc_a), int(r.doc_b), int(r.offset_a),
+             int(r.offset_b), int(r.match_len))
+            for _, r in odf.iterrows()} == got

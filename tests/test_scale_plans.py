@@ -332,11 +332,19 @@ def test_dedup_substring_plan_shape(spark):
     the window hash (never a cartesian/nested-loop with the rep-order
     predicate as the join condition), and the islands window must
     partition by the (doc_a, doc_b, diag) pair key — bounded by a
-    document's own window count — never by a raw corpus-wide key."""
-    from sparklog.queries import dedup_substring
+    document's own window count — never by a raw corpus-wide key.
+    Same guards for the winnowing-sampled variant, which additionally
+    must prune phase 2 with SEMI joins (candidate docs before the pair
+    join, candidate pairs after) — a projected inner join would carry
+    the cand columns and break the semi shape."""
+    from sparklog.queries import dedup_substring, dedup_substring_sampled
 
-    p = _plan(dedup_substring(spark, SF))
-    assert "CartesianProduct" not in p, p
-    assert "NestedLoopJoin" not in p, p
-    spec = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
-    assert spec and all("diag" in ln for ln in spec), spec
+    for fn in (dedup_substring, dedup_substring_sampled):
+        p = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in p, p
+        assert "NestedLoopJoin" not in p, p
+        spec = [ln for ln in p.splitlines()
+                if "windowspecdefinition" in ln]
+        assert spec and all("diag" in ln for ln in spec), spec
+    p = _plan(dedup_substring_sampled(spark, SF))
+    assert "LeftSemi" in p, p
