@@ -1788,17 +1788,36 @@ def dedup_substring(spark, sf):
     trade.  Joining on the 128-bit hash instead of the raw window
     string is the embedding-dedup 2x64-bit pattern (collision odds
     ~2^-64 at any realistic corpus)."""
+    kept = _substring_kept(spark, sf)
+    return _substring_maximal_runs(_substring_match_positions(kept))
+
+
+def _substring_kept(spark, sf) -> DataFrame:
+    """Windows surviving the over-cap bucket drop — ONE definition so
+    the exact op, the sampled op's both phases, and the subset property
+    between them can never diverge on cap policy."""
     wins = _substring_windows(spark, sf)
     over = (wins.groupBy("h").agg(F.count("*").alias("n"))
                 .where(F.col("n") > _SUBSTR_CAP).select("h"))
-    kept = wins.join(over, "h", "left_anti")
-    a = kept.select(F.col("rep").alias("doc_a"),
+    return wins.join(over, "h", "left_anti")
+
+
+def _substring_match_positions(w_df: DataFrame) -> DataFrame:
+    """Cross-text matched window positions (doc_a < doc_b) of a window
+    table: the bucket pair join both substring ops rank runs from."""
+    a = w_df.select(F.col("rep").alias("doc_a"),
                     F.col("pos").alias("pa"), "h")
-    b = kept.select(F.col("rep").alias("doc_b"),
+    b = w_df.select(F.col("rep").alias("doc_b"),
                     F.col("pos").alias("pb"), "h")
-    m = (a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
-          .select("doc_a", "doc_b", "pa", "pb",
-                  (F.col("pa") - F.col("pb")).alias("diag")))
+    return (a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "pa", "pb"))
+
+
+def _substring_maximal_runs(m: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, pa, pb) matched positions -> maximal runs via the
+    diagonal gaps-and-islands coalescing (shared by both substring
+    ops)."""
+    m = m.withColumn("diag", F.col("pa") - F.col("pb"))
     wisl = (Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa"))
     runs = m.withColumn("isl",
                         F.col("pa") - F.row_number().over(wisl))
@@ -1837,18 +1856,11 @@ def dedup_substring_sampled(spark, sf):
     at 100 TB the candidate id set drives partition pruning instead).
     Tuning p trades recall floor against shuffle volume; the exact op
     remains the audit tool at sample p = 1."""
-    wins = _substring_windows(spark, sf)
-    over = (wins.groupBy("h").agg(F.count("*").alias("n"))
-                .where(F.col("n") > _SUBSTR_CAP).select("h"))
-    kept = wins.join(over, "h", "left_anti")
+    kept = _substring_kept(spark, sf)
     samp = kept.where(
         F.substring("h", 1, 1).isin(*_SUBSTR_SAMPLE_HEX))
-    cand = (samp.select(F.col("rep").alias("doc_a"),
-                        F.col("pos").alias("pa"), "h")
-                .join(samp.select(F.col("rep").alias("doc_b"),
-                                  F.col("pos").alias("pb"), "h"), "h")
-                .where(F.col("doc_a") < F.col("doc_b"))
-                .select("doc_a", "doc_b").distinct())
+    cand = _substring_match_positions(samp).select(
+        "doc_a", "doc_b").distinct()
     # phase 2 prunes the window table to CANDIDATE DOCS before the pair
     # join (an explicit semi-join, not a post-join filter Catalyst may
     # or may not push) — the expensive h-join runs on candidate docs'
@@ -1858,28 +1870,16 @@ def dedup_substring_sampled(spark, sf):
                    .unionByName(cand.select(F.col("doc_b").alias("rep")))
                    .distinct())
     w2 = kept.join(docs_in, "rep", "left_semi")
-    a = w2.select(F.col("rep").alias("doc_a"),
-                  F.col("pos").alias("pa"), "h")
-    b = w2.select(F.col("rep").alias("doc_b"),
-                  F.col("pos").alias("pb"), "h")
-    m = (a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
-          .join(cand, ["doc_a", "doc_b"], "left_semi")
-          .select("doc_a", "doc_b", "pa", "pb",
-                  (F.col("pa") - F.col("pb")).alias("diag")))
-    wisl = (Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa"))
-    runs = m.withColumn("isl",
-                        F.col("pa") - F.row_number().over(wisl))
-    return (runs.groupBy("doc_a", "doc_b", "diag", "isl")
-                .agg(F.min("pa").cast("long").alias("offset_a"),
-                     F.min("pb").cast("long").alias("offset_b"),
-                     (F.count("*") + _SUBSTR_W - 1).cast("long")
-                      .alias("match_len"))
-                .select("doc_a", "doc_b", "offset_a", "offset_b",
-                        "match_len"))
+    m = (_substring_match_positions(w2)
+         .join(cand, ["doc_a", "doc_b"], "left_semi"))
+    return _substring_maximal_runs(m)
 
 
-SQL_DEDUP_SUBSTRING = f"""
-WITH u AS (
+# shared oracle CTEs: unique texts -> windows -> cap-kept windows
+# (mirrors _substring_windows + _substring_kept), and the shared
+# islands tail (mirrors _substring_maximal_runs) — one definition each
+# so the two substring oracles can't drift on window/cap/run semantics
+_SQL_SUBSTR_BASE = f"""u AS (
   SELECT min(doc_id::BIGINT) AS rep, min(text) AS t
   FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
 ), w AS (
@@ -1892,11 +1892,9 @@ WITH u AS (
   SELECT w.* FROM w
   JOIN (SELECT h FROM w GROUP BY h
         HAVING count(*) <= {_SUBSTR_CAP}) ok USING (h)
-), m AS (
-  SELECT a.rep AS doc_a, b.rep AS doc_b, a.pos AS pa, b.pos AS pb,
-         a.pos - b.pos AS diag
-  FROM kept a JOIN kept b ON a.h = b.h AND a.rep < b.rep
-), runs AS (
+)"""
+
+_SQL_SUBSTR_RUNS_TAIL = f""", runs AS (
   SELECT doc_a, doc_b, diag, pa, pb,
          pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
                                  ORDER BY pa) AS isl
@@ -1908,25 +1906,19 @@ SELECT doc_a, doc_b, min(pa)::BIGINT AS offset_a,
 FROM runs GROUP BY doc_a, doc_b, diag, isl
 """
 
+SQL_DEDUP_SUBSTRING = f"""
+WITH {_SQL_SUBSTR_BASE}, m AS (
+  SELECT a.rep AS doc_a, b.rep AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM kept a JOIN kept b ON a.h = b.h AND a.rep < b.rep
+){_SQL_SUBSTR_RUNS_TAIL}"""
+
 
 _SQL_SUBSTR_SAMPLE = " OR ".join(
     f"substring(a.h, 1, 1) = '{x}'" for x in _SUBSTR_SAMPLE_HEX)
 
 SQL_DEDUP_SUBSTRING_SAMPLED = f"""
-WITH u AS (
-  SELECT min(doc_id::BIGINT) AS rep, min(text) AS t
-  FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
-), w AS (
-  SELECT rep, i AS pos,
-         md5(array_to_string(list_slice(string_split(t, ' '),
-             i::INTEGER + 1, i::INTEGER + {_SUBSTR_W}), chr(31))) AS h
-  FROM u, unnest(range(0, greatest(len(string_split(t, ' '))
-                                   - {_SUBSTR_W} + 1, 0))) AS r(i)
-), kept AS (
-  SELECT w.* FROM w
-  JOIN (SELECT h FROM w GROUP BY h
-        HAVING count(*) <= {_SUBSTR_CAP}) ok USING (h)
-), cand AS (
+WITH {_SQL_SUBSTR_BASE}, cand AS (
   SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
   FROM kept a JOIN kept b ON a.h = b.h AND a.rep < b.rep
   WHERE {_SQL_SUBSTR_SAMPLE}
@@ -1935,17 +1927,7 @@ WITH u AS (
          a.pos - b.pos AS diag
   FROM kept a JOIN kept b ON a.h = b.h AND a.rep < b.rep
   JOIN cand c ON c.doc_a = a.rep AND c.doc_b = b.rep
-), runs AS (
-  SELECT doc_a, doc_b, diag, pa, pb,
-         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
-                                 ORDER BY pa) AS isl
-  FROM m
-)
-SELECT doc_a, doc_b, min(pa)::BIGINT AS offset_a,
-       min(pb)::BIGINT AS offset_b,
-       (count(*) + {_SUBSTR_W - 1})::BIGINT AS match_len
-FROM runs GROUP BY doc_a, doc_b, diag, isl
-"""
+){_SQL_SUBSTR_RUNS_TAIL}"""
 
 
 def dedup_path_metrics(spark, sf, cc_stats: dict | None = None
