@@ -209,7 +209,8 @@ def test_run_dedup_writes_outputs_and_bucket_metrics(spark, tmp_path):
     # one metrics row per dedup path, all cascade counters present
     m = stats["bucket_metrics"]
     assert set(m) == {"minhash_bands", "exact_text_groups",
-                      "ann_lsh_buckets", "minhash_components"}
+                      "ann_lsh_buckets", "substring_windows",
+                      "minhash_components"}
     for name, row in m.items():
         assert row["n_rows"] > 0
         if name == "minhash_components":   # CC convergence row (round 5)
