@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_substring",
+    "dedup_substring_sampled",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "asof_join_event_rates",

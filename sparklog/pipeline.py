@@ -146,13 +146,16 @@ def run_pipeline(spark: SparkSession, src_path: str, out_dir: str,
 def run_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Dedup job over the documents/embeddings tables: near-dup pairs, the
     component partition (what downstream keep-one-per-component actually
-    consumes), and the per-path cap-cascade observability table — written
-    with the same manifest/stage pattern as run_pipeline, metrics beside
-    outputs the way parse_metrics sits beside the sinks."""
+    consumes), the maximal cross-doc substring runs (round 7 — what an
+    excision pass consumes), and the per-path cap-cascade observability
+    table — written with the same manifest/stage pattern as
+    run_pipeline, metrics beside outputs the way parse_metrics sits
+    beside the sinks."""
     from .queries import (
         dedup_components_with_stats,
         dedup_minhash_lsh,
         dedup_path_metrics,
+        dedup_substring,
         release_caches,
     )
 
@@ -181,6 +184,17 @@ def run_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         release_caches()
         return {"cc": cc}
 
+    def _substring():
+        # maximal cross-doc verbatim runs (round 7): the doc-level pair/
+        # component outputs cannot see a long shared block inside two
+        # distinct pages; downstream excision/dedup tooling consumes
+        # these (doc_a, doc_b, offset_a, offset_b, match_len) rows
+        (dedup_substring(spark, sf_dir)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "substring_runs")))
+        release_caches()
+        return {}
+
     def _metrics():
         # reuse the components stage's propagation stats (committed in
         # its manifest info) instead of running the CC loop a second time
@@ -201,10 +215,13 @@ def run_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
 
     stage("near_dup_pairs", _pairs)
     stage("components", _components)
+    stage("substring_runs", _substring)
     stage("dedup_metrics", _metrics)
 
     stats["n_pairs"] = spark.read.parquet(
         os.path.join(out_dir, "near_dup_pairs")).count()
+    stats["n_substring_runs"] = spark.read.parquet(
+        os.path.join(out_dir, "substring_runs")).count()
     stats["n_components"] = spark.read.parquet(
         os.path.join(out_dir, "components")) \
         .select("component_rep").distinct().count()

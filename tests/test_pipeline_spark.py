@@ -206,6 +206,8 @@ def test_run_dedup_writes_outputs_and_bucket_metrics(spark, tmp_path):
     out = str(tmp_path / "dedup_out")
     stats = run_dedup(spark, "/root/testdata/sf0.001", out)
     assert stats["n_pairs"] >= 0 and stats["n_components"] > 0
+    assert stats["n_substring_runs"] >= 0
+    assert os.path.exists(os.path.join(out, "substring_runs"))
     # one metrics row per dedup path, all cascade counters present
     m = stats["bucket_metrics"]
     assert set(m) == {"minhash_bands", "exact_text_groups",
@@ -222,6 +224,7 @@ def test_run_dedup_writes_outputs_and_bucket_metrics(spark, tmp_path):
     # rerun resumes every stage from the manifest
     again = run_dedup(spark, "/root/testdata/sf0.001", out)
     assert set(again["resumed_stages"]) == {"near_dup_pairs", "components",
+                                            "substring_runs",
                                             "dedup_metrics"}
     assert again["bucket_metrics"] == m
 
