@@ -3588,19 +3588,25 @@ _BPE_ORACLE_MEMO: dict[str, list] = {}
 
 def _bpe_merges(spark, sf) -> list:
     """Learn the merge table from the sf corpus via Spark: word
-    frequencies from ONE map-side-combined explode/groupBy pass, the
-    top BPE_MAX_WORDS by (freq desc, word asc) collected
+    frequencies COLLAPSE-FIRST (each unique text's words explode once,
+    weighted by its duplicate multiplicity — on the x100 replica corpus
+    that is ~100x less explode/regexp work for bit-identical counts),
+    the top BPE_MAX_WORDS by (freq desc, word asc) collected
     (TakeOrderedAndProject — bounded at any corpus size), then the pure-
     Python learner.  Deterministic: the selection is a total order and
-    the learner breaks ties on (count desc, pair asc)."""
+    the learner breaks ties on (count desc, pair asc); the oracle
+    builder computes the same integer counts without the collapse, which
+    cannot change them."""
     from .bpe import BPE_MAX_WORDS, BPE_MERGES, WORD_RX, learn_bpe
 
-    wf = (_t(spark, sf, "documents")
-          .where(F.col("text").isNotNull())
-          .select(F.explode(F.expr(
-              f"transform(regexp_extract_all(text, '{WORD_RX}', 0), "
+    grp = (_t(spark, sf, "documents")
+           .where(F.col("text").isNotNull())
+           .groupBy(F.md5("text").alias("gk"))
+           .agg(F.count("*").alias("copies"), F.min("text").alias("t")))
+    wf = (grp.select("copies", F.explode(F.expr(
+              f"transform(regexp_extract_all(t, '{WORD_RX}', 0), "
               "w -> lower(w))")).alias("w"))
-          .groupBy("w").agg(F.count("*").alias("f"))
+          .groupBy("w").agg(F.sum("copies").alias("f"))
           .sort(F.desc("f"), F.asc("w")).limit(BPE_MAX_WORDS)
           .collect())
     return learn_bpe([(r.w, r.f) for r in wf], BPE_MERGES)
