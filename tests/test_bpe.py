@@ -85,3 +85,36 @@ def test_extract_words_ascii_only_lowering():
     assert extract_words(None or "") == []
     # non-ASCII letters are word BOUNDARIES, never lowered into [a-z]
     assert extract_words("naïve Ärger") == ["na", "ve", "rger"]
+
+
+def test_empty_merge_table_degenerate_corpus(spark, tmp_path):
+    """A corpus of single-letter words learns ZERO merges (no adjacent
+    pair exists inside any word) — the ops and the oracle must agree on
+    the merge-free path: every token is a single character, and the
+    recursive CTE (whose VALUES dim gets a dummy row with recursion
+    bound 0) never fires."""
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import (SQL_TOKEN_VOCAB_TOPK, _bpe_merges,
+                                  _bpe_oracle_merges, token_vocab_topk)
+
+    rows = [(0, "a b c a", "en", "web"), (1, "b c", "en", "web"),
+            (2, "", "en", "web")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    assert _bpe_merges(spark, d) == []
+    assert _bpe_oracle_merges(d) == []
+    got = {r.token: (r.n_occurrences, r.n_docs)
+           for r in token_vocab_topk(spark, d).collect()}
+    assert got == {"a": (2, 1), "b": (2, 2), "c": (2, 2)}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_TOKEN_VOCAB_TOPK(d)).df()
+    assert {r.token: (int(r.n_occurrences), int(r.n_docs))
+            for _, r in odf.iterrows()} == got
