@@ -211,3 +211,23 @@ def with_bpe_tokens(df, text_col: str, merges, out_col: str = "toks"):
             yield pa.RecordBatch.from_arrays(arrays, cols + [out_col])
 
     return df.mapInArrow(fn, schema)
+
+
+def save_merges(spark, merges, path: str) -> None:
+    """Persist the merge table as the production tokenizer ARTIFACT: a
+    tiny ordered (mi, a, b) parquet.  A training pipeline learns the
+    tokenizer ONCE (pipeline.run_tokenize) and every token-keyed job
+    loads this table instead of re-scanning the corpus — the same
+    inject-the-artifact pattern as the curation blocklist."""
+    spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "mi int, a string, b string").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list:
+    """Load a save_merges artifact back into the [(a, b), ...] form the
+    ops and kernels consume (merge ORDER is the mi column — application
+    is order-sensitive)."""
+    return [(r.a, r.b) for r in
+            spark.read.parquet(path).orderBy("mi").collect()]

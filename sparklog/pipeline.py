@@ -359,6 +359,43 @@ def run_incremental(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return stats
 
 
+def run_tokenize(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Tokenizer-artifact job (round 7): learn the BPE merge table ONCE
+    from the corpus and persist it as a tiny ordered (mi, a, b) parquet
+    under ``merges/``.  The token-keyed ops (token_vocab_topk,
+    decontaminate_benchmark_tokens, pack_sequences) re-learn per call by
+    default — correct, but a corpus scan each — and accept the loaded
+    artifact via their ``merges=`` parameter, which is what a production
+    pipeline does: one learning pass per corpus snapshot, every
+    downstream job injects the artifact (the blocklist-injection
+    pattern).  Manifest-staged and resume-idempotent like the sibling
+    jobs."""
+    from .bpe import save_merges
+    from .queries import _bpe_merges
+
+    manifest = Manifest(out_dir)
+    stats: dict = {"resumed_stages": []}
+    t0 = time.time()
+
+    def stage(name: str, fn):
+        if manifest.is_done(name):
+            stats["resumed_stages"].append(name)
+            return
+        info = fn() or {}
+        manifest.commit_stage(name, info)
+
+    def _merges():
+        merges = _bpe_merges(spark, sf_dir)
+        save_merges(spark, merges, os.path.join(out_dir, "merges"))
+        return {"n_merges": len(merges)}
+
+    stage("merges", _merges)
+    stats["n_merges"] = (manifest.load()["stages"]
+                         .get("merges", {}).get("n_merges"))
+    stats["wall_sec"] = time.time() - t0
+    return stats
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default=None, help="tokens parquet path")
@@ -393,6 +430,10 @@ def main(argv=None):
                     help="run the incremental-dedup job (batch-vs-corpus "
                          "flags + kept additions + flag counts) over this "
                          "sf dir instead of the parse pipeline")
+    ap.add_argument("--tokenize-sf", default=None,
+                    help="learn + persist the BPE tokenizer artifact "
+                         "(merges/ parquet) over this sf dir instead of "
+                         "the parse pipeline")
     args = ap.parse_args(argv)
 
     cfg = ParseConfig(
@@ -416,6 +457,10 @@ def main(argv=None):
     if args.incremental_sf:
         print(json.dumps(run_incremental(spark, args.incremental_sf,
                                          args.out), default=str))
+        return
+    if args.tokenize_sf:
+        print(json.dumps(run_tokenize(spark, args.tokenize_sf, args.out),
+                         default=str))
         return
 
     src = args.src

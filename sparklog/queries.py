@@ -3679,7 +3679,7 @@ _BPE_WORDS_EXPR = ("list_transform(regexp_extract_all({t}, '[A-Za-z]+', "
                    "0), x -> lower(x))")
 
 
-def pack_sequences(spark, sf):
+def pack_sequences(spark, sf, merges: list | None = None):
     """Concatenate-and-chunk sequence packing — the LLM-pretraining prep
     step: documents are laid out in a deterministic order inside a pack
     stream, each at offset = running token count of its predecessors, and
@@ -3705,7 +3705,8 @@ def pack_sequences(spark, sf):
     collapsed token table is what a production packer writes."""
     from .bpe import with_bpe_tokens
 
-    merges = _bpe_merges(spark, sf)
+    if merges is None:   # production passes the learned artifact
+        merges = _bpe_merges(spark, sf)
     nshards = _pack_nshards(_table_rowcount(spark, sf, "documents"))
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "text")
@@ -3871,7 +3872,8 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM b)
 """
 
 
-def decontaminate_benchmark_tokens(spark, sf):
+def decontaminate_benchmark_tokens(spark, sf,
+                                   merges: list | None = None):
     """TOKEN-level benchmark decontamination (round-5 judge item #4):
     same contract as decontaminate_benchmark, but the overlap unit is
     13-grams of the model's token stream instead of whitespace word
@@ -3894,7 +3896,8 @@ def decontaminate_benchmark_tokens(spark, sf):
     to actual hits before the (tiny) per-key hit count."""
     from .bpe import with_bpe_tokens
 
-    merges = _bpe_merges(spark, sf)
+    if merges is None:   # production passes the learned artifact
+        merges = _bpe_merges(spark, sf)
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text")
     h = F.md5(F.col("doc_id").cast("string"))
@@ -3980,7 +3983,7 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM b)
 _VOCAB_TOPK = 64
 
 
-def token_vocab_topk(spark, sf):
+def token_vocab_topk(spark, sf, merges: list | None = None):
     """Corpus vocabulary statistics over the model's token stream: the
     top-64 SUBWORD tokens by total occurrence count, with the number of
     documents containing each token and the token's corpus share in
@@ -4008,7 +4011,8 @@ def token_vocab_topk(spark, sf):
     switch the ppm numerator to decimal)."""
     from .bpe import with_bpe_token_counts
 
-    merges = _bpe_merges(spark, sf)
+    if merges is None:   # production passes the learned artifact
+        merges = _bpe_merges(spark, sf)
     docs = (_t(spark, sf, "documents")
             .where(F.col("text").isNotNull()).select("text"))
     grp = (docs.groupBy(F.md5("text").alias("gk"))

@@ -289,3 +289,36 @@ def test_run_incremental_writes_flags_additions_and_metrics(spark,
     assert set(again["resumed_stages"]) == {"flags", "additions",
                                             "incremental_metrics"}
     assert again["flag_combos"] == stats["flag_combos"]
+
+
+def test_run_tokenize_artifact_roundtrips_and_injects(spark, tmp_path):
+    """The tokenizer job persists the merge table once; loading it back
+    gives the exact list the learner produced (order preserved — BPE
+    application is order-sensitive), injecting it into the token ops
+    reproduces the default re-learning result, and the job resumes from
+    the manifest without re-learning."""
+    import os
+
+    from sparklog.bpe import load_merges
+    from sparklog.pipeline import run_tokenize
+    from sparklog.queries import _bpe_merges, token_vocab_topk
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tok_out")
+    stats = run_tokenize(spark, sf, out)
+    assert stats["n_merges"] > 0
+    assert os.path.exists(os.path.join(out, "merges"))
+
+    merges = load_merges(spark, os.path.join(out, "merges"))
+    assert merges == _bpe_merges(spark, sf)
+
+    default = {(r.token, r.n_occurrences, r.n_docs, r.rank)
+               for r in token_vocab_topk(spark, sf).collect()}
+    injected = {(r.token, r.n_occurrences, r.n_docs, r.rank)
+                for r in token_vocab_topk(spark, sf,
+                                          merges=merges).collect()}
+    assert injected == default
+
+    again = run_tokenize(spark, sf, out)
+    assert again["resumed_stages"] == ["merges"]
+    assert again["n_merges"] == stats["n_merges"]
