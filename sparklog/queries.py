@@ -1899,19 +1899,23 @@ _SQL_SUBSTR_RUNS_TAIL = f""", runs AS (
          pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
                                  ORDER BY pa) AS isl
   FROM m
-)
-SELECT doc_a, doc_b, min(pa)::BIGINT AS offset_a,
-       min(pb)::BIGINT AS offset_b,
-       (count(*) + {_SUBSTR_W - 1})::BIGINT AS match_len
-FROM runs GROUP BY doc_a, doc_b, diag, isl
-"""
+), maximal AS (
+  SELECT doc_a, doc_b, min(pa)::BIGINT AS offset_a,
+         min(pb)::BIGINT AS offset_b,
+         (count(*) + {_SUBSTR_W - 1})::BIGINT AS match_len
+  FROM runs GROUP BY doc_a, doc_b, diag, isl
+)"""
 
-SQL_DEDUP_SUBSTRING = f"""
-WITH {_SQL_SUBSTR_BASE}, m AS (
+_SQL_SUBSTR_M_EXACT = """, m AS (
   SELECT a.rep AS doc_a, b.rep AS doc_b, a.pos AS pa, b.pos AS pb,
          a.pos - b.pos AS diag
   FROM kept a JOIN kept b ON a.h = b.h AND a.rep < b.rep
-){_SQL_SUBSTR_RUNS_TAIL}"""
+)"""
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH {_SQL_SUBSTR_BASE}{_SQL_SUBSTR_M_EXACT}{_SQL_SUBSTR_RUNS_TAIL}
+SELECT doc_a, doc_b, offset_a, offset_b, match_len FROM maximal
+"""
 
 
 _SQL_SUBSTR_SAMPLE = " OR ".join(
@@ -1927,7 +1931,127 @@ WITH {_SQL_SUBSTR_BASE}, cand AS (
          a.pos - b.pos AS diag
   FROM kept a JOIN kept b ON a.h = b.h AND a.rep < b.rep
   JOIN cand c ON c.doc_a = a.rep AND c.doc_b = b.rep
-){_SQL_SUBSTR_RUNS_TAIL}"""
+){_SQL_SUBSTR_RUNS_TAIL}
+SELECT doc_a, doc_b, offset_a, offset_b, match_len FROM maximal
+"""
+
+
+def dedup_substring_excise(spark, sf):
+    """APPLY substring dedup (the consumer of dedup_substring's report —
+    the audit->apply pattern of curate_documents): every maximal shared
+    run is EXCISED from its higher-id document (doc_a, the first
+    occurrence by rep order, keeps its copy), and the op returns the
+    full corpus with the de-boilerplated text — per doc: was_excised,
+    n_words_removed, and the new text.
+
+    Overlapping runs on one victim (several doc_a partners sharing
+    overlapping blocks) are first merged into disjoint intervals by the
+    running-max gaps-and-islands pass, then one indexed filter drops the
+    covered word positions — a word is never double-counted and partial
+    overlaps excise exactly once.
+
+    Scale shape: the run table is the (tiny) dedup_substring output;
+    interval merging windows over per-victim runs (bounded by a doc's
+    own window count); victims' interval lists attach to the corpus
+    through the collapse key table (rep = min doc_id per unique text,
+    so every replica of a victim text is excised identically), and the
+    excision itself is one JVM filter-with-index per doc — O(words x
+    intervals) with intervals bounded by the doc's runs.  Untouched
+    docs (including NULL text) pass through byte-identical."""
+    runs = dedup_substring(spark, sf)
+    # DISTINCT before the merge pass: two partners can contribute the
+    # IDENTICAL (s, e) interval, and duplicate rows under the tie-broken
+    # (s, e) window order make the ROWS-frame running max NONDETERMINISTIC
+    # (either duplicate may precede the other, flipping which one sees
+    # prev_max from the earlier group) — distinct rows make the order
+    # total and the merge deterministic in both engines
+    iv0 = (runs.select(F.col("doc_b").alias("rep"),
+                       F.col("offset_b").alias("s"),
+                       (F.col("offset_b") + F.col("match_len")).alias("e"))
+               .distinct())
+    wprev = (Window.partitionBy("rep").orderBy("s", "e")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    ivo = iv0.withColumn("prev_max", F.max("e").over(wprev))
+    wg = Window.partitionBy("rep").orderBy("s", "e")
+    ivg = ivo.withColumn(
+        "grp", F.sum(F.when(F.col("prev_max").isNull()
+                            | (F.col("s") > F.col("prev_max")), 1)
+                      .otherwise(0)).over(wg))
+    ivl = (ivg.groupBy("rep", "grp")
+              .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+              .groupBy("rep")
+              .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+                    .alias("iv")))
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    reps = (docs.where(F.col("text").isNotNull())
+                .groupBy(F.md5("text").alias("gk"))
+                .agg(F.min("doc_id").alias("rep")))
+    d = (docs.join(reps, F.md5(docs["text"]) == reps["gk"], "left")
+             .join(ivl, "rep", "left"))
+    kept_w = F.expr(f"filter(split(text, ' '), (x, i) -> "
+                    f"not exists(iv, p -> i >= p.s and i < p.e))")
+    n_rm = F.size(F.split("text", " ")) - F.size(kept_w)
+    return d.select(
+        "doc_id",
+        F.col("iv").isNotNull().alias("was_excised"),
+        F.when(F.col("iv").isNotNull(), n_rm).otherwise(F.lit(0))
+         .cast("long").alias("n_words_removed"),
+        F.when(F.col("iv").isNotNull(),
+               F.array_join(kept_w, " ")).otherwise(F.col("text"))
+         .alias("text"))
+
+
+SQL_DEDUP_SUBSTRING_EXCISE = f"""
+WITH {_SQL_SUBSTR_BASE}{_SQL_SUBSTR_M_EXACT}{_SQL_SUBSTR_RUNS_TAIL},
+iv0 AS (
+  -- DISTINCT: duplicate (s, e) rows make the tie-ordered ROWS-frame
+  -- running max nondeterministic (see the Spark-side comment)
+  SELECT DISTINCT doc_b AS rep, offset_b AS s, offset_b + match_len AS e
+  FROM maximal
+), ivo AS (
+  SELECT rep, s, e,
+         max(e) OVER (PARTITION BY rep ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM iv0
+), ivg AS (
+  SELECT rep, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY rep ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS grp
+  FROM ivo
+), ivl AS (
+  SELECT rep, list(struct_pack(s := s, e := e) ORDER BY s, e) AS iv
+  FROM (SELECT rep, min(s) AS s, max(e) AS e FROM ivg
+        GROUP BY rep, grp)
+  GROUP BY rep
+), d AS (
+  SELECT doc_id::BIGINT AS doc_id, text,
+         CASE WHEN text IS NOT NULL THEN
+           min(doc_id::BIGINT) OVER (PARTITION BY md5(text)) END AS rep
+  FROM documents
+)
+SELECT d.doc_id,
+       l.iv IS NOT NULL AS was_excised,
+       (CASE WHEN l.iv IS NULL THEN 0 ELSE
+          len(string_split(d.text, ' '))
+          - len(list_filter(string_split(d.text, ' '), (x, i) ->
+                len(list_filter(l.iv, p -> i - 1 >= p.s
+                                AND i - 1 < p.e)) = 0)) END)::BIGINT
+         AS n_words_removed,
+       CASE WHEN l.iv IS NULL THEN d.text ELSE
+         -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+         -- where Spark's array_join is '' (a fully-excised doc)
+         coalesce(array_to_string(
+           list_filter(string_split(d.text, ' '), (x, i) ->
+             len(list_filter(l.iv, p -> i - 1 >= p.s
+                             AND i - 1 < p.e)) = 0), ' '), '') END
+         AS text
+FROM d LEFT JOIN ivl l ON l.rep = d.rep
+"""
 
 
 def dedup_path_metrics(spark, sf, cc_stats: dict | None = None
@@ -4597,6 +4721,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_substring": (dedup_substring, SQL_DEDUP_SUBSTRING),
     "dedup_substring_sampled": (dedup_substring_sampled,
                                 SQL_DEDUP_SUBSTRING_SAMPLED),
+    "dedup_substring_excise": (dedup_substring_excise,
+                               SQL_DEDUP_SUBSTRING_EXCISE),
     "ann_cosine_topk": (ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "text_quality_scores": (text_quality_scores, SQL_TEXT_QUALITY_SCORES),
     "text_langid_heuristic": (text_langid_heuristic,
@@ -4611,8 +4737,6 @@ REGISTRY: dict[str, tuple] = {
                               SQL_ASOF_JOIN_EVENT_RATES),
     "sessionize_user_events": (sessionize_user_events,
                                SQL_SESSIONIZE_USER_EVENTS),
-    "pivot_event_type_counts": (pivot_event_type_counts,
-                                SQL_PIVOT_EVENT_TYPE_COUNTS),
     "rollup_orders_status_priority": (rollup_orders_status_priority,
                                       SQL_ROLLUP_ORDERS_STATUS_PRIORITY),
     "ann_lsh_buckets": (ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
@@ -4640,6 +4764,8 @@ REGISTRY: dict[str, tuple] = {
     "curate_documents": (curate_documents, SQL_CURATE_DOCUMENTS),
     "curate_corpus": (curate_corpus, SQL_CURATE_CORPUS),
     # --- tail: long-green queries past the driver's 50-entry window ---
+    "pivot_event_type_counts": (pivot_event_type_counts,
+                                SQL_PIVOT_EVENT_TYPE_COUNTS),
     "setop_premium_only_customers": (setop_premium_only_customers,
                                      SQL_SETOP_PREMIUM_ONLY_CUSTOMERS),
     "syslog_token_roundtrip": (syslog_token_roundtrip,

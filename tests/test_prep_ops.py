@@ -1154,3 +1154,71 @@ def test_dedup_substring_sampled_is_exact_subset(spark, tmp_path):
     assert {(int(r.doc_a), int(r.doc_b), int(r.offset_a),
              int(r.offset_b), int(r.match_len))
             for _, r in odf.iterrows()} == got
+
+
+def test_dedup_substring_excise_planted(spark, tmp_path):
+    """Hand-computed excisions on the planted corpus: the 60-word lift
+    leaves doc 2 with only its unique prefix/suffix; doc 3's two
+    25-word lifts merge duplicate intervals from two partners; doc 4's
+    overlapping [0,25)+[26,50) intervals leave exactly the 1-word edit;
+    an exact duplicate of a victim text (doc 5 = doc 2) is excised
+    IDENTICALLY through the collapse key; the lowest-id doc (1) and the
+    boilerplate cap docs are untouched; NULL text passes through.  The
+    DuckDB oracle agrees row-for-row including the fully-kept docs."""
+    import duckdb
+    import pandas as pd
+
+    from sparklog.queries import (SQL_DEDUP_SUBSTRING_EXCISE,
+                                  dedup_substring_excise)
+
+    A = [f"w{i}" for i in range(100)]
+    docs = {
+        1: A,
+        2: [f"p{i}" for i in range(30)] + A[10:70]
+           + [f"q{i}" for i in range(10)],
+        3: A[20:45] + [f"r{i}" for i in range(15)] + A[60:85],
+        4: A[0:25] + ["x25"] + A[26:50],
+    }
+    docs[5] = docs[2]
+    B = [f"b{j}" for j in range(20)]
+    for i in range(70):
+        docs[100 + i] = ([f"u{i}x{j}" for j in range(5)] + B
+                         + [f"v{i}x{j}" for j in range(5)])
+    rows = [(i, " ".join(ws), "en", "web") for i, ws in docs.items()]
+    rows.append((6, None, "en", "web"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int32")
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/documents.parquet")
+
+    got = {r.doc_id: r for r in dedup_substring_excise(spark, d).collect()}
+    assert len(got) == len(rows)
+    expect_text = {
+        2: " ".join([f"p{i}" for i in range(30)]
+                    + [f"q{i}" for i in range(10)]),
+        3: " ".join(f"r{i}" for i in range(15)),
+        4: "x25",
+    }
+    expect_text[5] = expect_text[2]
+    for i, t in expect_text.items():
+        assert got[i].was_excised and got[i].text == t, (i, got[i])
+    assert (got[2].n_words_removed, got[3].n_words_removed,
+            got[4].n_words_removed, got[5].n_words_removed) == \
+        (60, 50, 49, 60)
+    assert not got[1].was_excised and got[1].text == " ".join(A)
+    assert got[6].text is None and not got[6].was_excised
+    for i in range(100, 170):
+        assert not got[i].was_excised
+        assert got[i].n_words_removed == 0
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    odf = con.execute(SQL_DEDUP_SUBSTRING_EXCISE).df()
+    assert len(odf) == len(rows)
+    for _, r in odf.iterrows():
+        g = got[int(r.doc_id)]
+        o_text = None if r.text is None else r.text
+        assert (bool(r.was_excised), int(r.n_words_removed), o_text) == \
+            (g.was_excised, g.n_words_removed, g.text), r.doc_id
