@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_connected_components",
     "dedup_substring",
     "dedup_substring_sampled",
+    "dedup_substring_excise",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "asof_join_event_rates",

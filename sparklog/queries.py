@@ -1952,12 +1952,13 @@ def dedup_substring_excise(spark, sf):
 
     Scale shape: the run table is the (tiny) dedup_substring output;
     interval merging windows over per-victim runs (bounded by a doc's
-    own window count); victims' interval lists attach to the corpus
-    through the collapse key table (rep = min doc_id per unique text,
-    so every replica of a victim text is excised identically), and the
-    excision itself is one JVM filter-with-index per doc — O(words x
-    intervals) with intervals bounded by the doc's runs.  Untouched
-    docs (including NULL text) pass through byte-identical."""
+    own window count); the excision itself runs COLLAPSE-FIRST — once
+    per unique VICTIM text (O(words x intervals), intervals bounded by
+    the doc's runs) and expands through the narrow (doc_id, gk) key
+    table, so every replica of a victim text is excised identically and
+    untouched docs (including NULL text) pass through byte-identical
+    without ever touching the filter HOF (x100: 12.9 s per-doc -> 3.6 s
+    collapsed)."""
     runs = dedup_substring(spark, sf)
     # DISTINCT before the merge pass: two partners can contribute the
     # IDENTICAL (s, e) interval, and duplicate rows under the tie-broken
@@ -1982,24 +1983,31 @@ def dedup_substring_excise(spark, sf):
               .groupBy("rep")
               .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
                     .alias("iv")))
+    # COLLAPSE-FIRST excision: the new text is a pure function of
+    # (text, iv), so the interpreted filter-with-index HOF runs once
+    # per unique VICTIM text (the inner ivl join prunes non-victims)
+    # and the results expand through the narrow (doc_id, gk) key table
+    # — untouched docs never touch the HOF, replicas excise identically
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text")
-    reps = (docs.where(F.col("text").isNotNull())
+    keyed = docs.select("doc_id", "text", F.md5("text").alias("gk"))
+    uniq = (docs.where(F.col("text").isNotNull())
                 .groupBy(F.md5("text").alias("gk"))
-                .agg(F.min("doc_id").alias("rep")))
-    d = (docs.join(reps, F.md5(docs["text"]) == reps["gk"], "left")
-             .join(ivl, "rep", "left"))
-    kept_w = F.expr(f"filter(split(text, ' '), (x, i) -> "
-                    f"not exists(iv, p -> i >= p.s and i < p.e))")
-    n_rm = F.size(F.split("text", " ")) - F.size(kept_w)
-    return d.select(
-        "doc_id",
-        F.col("iv").isNotNull().alias("was_excised"),
-        F.when(F.col("iv").isNotNull(), n_rm).otherwise(F.lit(0))
-         .cast("long").alias("n_words_removed"),
-        F.when(F.col("iv").isNotNull(),
-               F.array_join(kept_w, " ")).otherwise(F.col("text"))
-         .alias("text"))
+                .agg(F.min("doc_id").alias("rep"),
+                     F.min("text").alias("t")))
+    kept_w = F.expr("filter(split(t, ' '), (x, i) -> "
+                    "not exists(iv, p -> i >= p.s and i < p.e))")
+    vict = (uniq.join(ivl, "rep")
+                .select("gk",
+                        (F.size(F.split("t", " ")) - F.size(kept_w))
+                         .cast("long").alias("n_rm"),
+                        F.array_join(kept_w, " ").alias("new_text")))
+    return (keyed.join(vict, "gk", "left")
+                 .select("doc_id",
+                         F.col("n_rm").isNotNull().alias("was_excised"),
+                         F.coalesce("n_rm", F.lit(0)).cast("long")
+                          .alias("n_words_removed"),
+                         F.coalesce("new_text", "text").alias("text")))
 
 
 SQL_DEDUP_SUBSTRING_EXCISE = f"""
