@@ -35,10 +35,16 @@ def test_minhash_signature_subtree_once(spark):
 
     df = dedup_minhash_lsh(spark, SF)
     plan = _plan(df)
-    # 4 static branches share the signature subtree: big side, the
-    # level-1 count probe, and the level-2 probe's semi-join + count
-    assert plan.count("partial_min(substring") == 16, plan
-    assert plan.count("Location:") <= 16, plan
+    # 6 static branches share the signature subtree since round 8: the
+    # level-1 count probe, the under/over row branches (the cascade now
+    # splits over-cap rows off with an inner/anti join pair so an
+    # expensive refine expression is STRUCTURALLY confined to the over
+    # branch), the level-2 probe riding the over branch, and the big
+    # side's two halves.  Every copy is the canonically-identical
+    # signature exchange, so AQE still materializes it once (asserted
+    # below via the repeated stage id).
+    assert plan.count("partial_min(substring") == 24, plan
+    assert plan.count("Location:") <= 24, plan
     df.write.format("noop").mode("overwrite").save()
     ep = df._jdf.queryExecution().executedPlan().toString()
     stage_ids = re.findall(r"ShuffleQueryStage (\d+)", ep)
@@ -346,5 +352,37 @@ def test_dedup_substring_plan_shape(spark):
         spec = [ln for ln in p.splitlines()
                 if "windowspecdefinition" in ln]
         assert spec and all("diag" in ln for ln in spec), spec
+        # round-8 (VERDICT r7 #1): the words array must materialize ONCE
+        # per scan branch, in a Project BELOW the window Generate — a
+        # split(t, ' ') referenced inside the transform lambda re-splits
+        # the whole text at every window position (O(L^2) per unique
+        # text).  Every explode line must window over the materialized
+        # attribute, never over a fresh split.
+        gens = [ln for ln in p.splitlines() if "explode(CASE WHEN" in ln]
+        assert gens and all("split(" not in ln for ln in gens), gens
+        assert all("slice(w#" in ln for ln in gens), gens
+        # exactly one split per windowing scan branch, none anywhere
+        # else (the optimizer folds w = split(t) straight into the
+        # collapse aggregate's result projection: split(min(text)))
+        splits = [ln for ln in p.splitlines() if "split(" in ln]
+        assert len(splits) == len(gens), (splits, gens)
+        assert all(" AS w#" in ln for ln in splits), splits
     p = _plan(dedup_substring_sampled(spark, SF))
     assert "LeftSemi" in p, p
+
+
+def test_ann_ivf_plan_one_full_assignment_no_interpreted_fold(spark):
+    """Round-8 (VERDICT r7 #2): (a) probe scoring must run in the shared
+    _pair_cosine Arrow kernel, never the interpreted
+    aggregate(zip_with(...)) Catalyst fold; (b) the query-probe branch
+    must filter vec_id < 20 BELOW its kernel — visible as a pushed scan
+    filter — so only ONE assignment kernel pass covers the corpus (a
+    filter above an opaque map cannot prune the map's input, so the old
+    plan ran the full-corpus kernel twice)."""
+    from sparklog.queries import ann_ivf_topk
+
+    p = _plan(ann_ivf_topk(spark, SF))
+    assert "zip_with" not in p, p
+    # corpus assignment + query-probe kernel + pair-cosine kernel
+    assert p.count("MapInArrow (") == 3, p
+    assert "LessThan(vec_id,20)" in p, p
